@@ -1,0 +1,141 @@
+"""Pillarization: points -> (pillar features, coords, masks), static shapes.
+
+The reference does this as a host-side Python/NumPy binning loop (SURVEY.md
+section 2 'Pillarizer / voxelizer' — hot loop #1 in the inference call stack).
+Here it is an on-device XLA program with fully static shapes, so it fuses into
+the single jitted points->boxes pipeline.
+
+Canonical semantics (this framework's spec; also implemented by the NumPy
+reference in ``reference_cpu`` so both paths are bit-comparable):
+
+  1. A point is valid if its index < num_points and it falls inside the
+     detection range (after floor-binning, its cell is inside the grid).
+  2. pillar_id = row * grid_w + col, row from y, col from x.
+  3. Pillars are ordered by ascending pillar_id; the first `max_pillars`
+     pillars by id are kept (deterministic overflow policy).
+  4. Within a pillar, points keep their original input order; the first
+     `max_points_per_pillar` are kept (deterministic tie-break — this is what
+     makes bit-for-boxes fidelity possible, SURVEY.md section 7 hard part b).
+  5. Each kept point is decorated to D = raw + 5 features:
+     (x, y, z, intensity[, dt], xc, yc, zc, xp, yp) where (xc, yc, zc) is the
+     offset to the arithmetic mean of the pillar's kept points and (xp, yp)
+     the offset to the pillar's cell center [PointPillars paper section 2.1].
+     Padded slots are all-zero.
+
+Mechanism: stable sort of pillar ids, segment-start detection, per-point rank
+within segment via cumulative max — sorting is the TPU-native substitute for
+the reference's sequential binning (no atomics, deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pillars.config import PillarsConfig
+
+
+class PillarBatch(NamedTuple):
+    """Static-shape pillarized sweep.
+
+    features: (P, N, D) decorated per-point features, zero-padded
+    mask:     (P, N) bool — valid point slots
+    coords:   (P, 2) int32 — (row, col) BEV cell per pillar (0 where invalid)
+    pillar_mask: (P,) bool — valid pillars
+    """
+
+    features: jnp.ndarray
+    mask: jnp.ndarray
+    coords: jnp.ndarray
+    pillar_mask: jnp.ndarray
+
+
+def pillarize(points: jnp.ndarray, num_points, config: PillarsConfig) -> PillarBatch:
+    """points: (max_points, F) float32 (F = num_raw_features [+ dt]),
+    num_points: scalar int32 count of real rows. -> PillarBatch."""
+    P = config.max_pillars
+    N = config.max_points_per_pillar
+    W, H = config.grid_w, config.grid_h
+    M, F = points.shape
+    BIG = H * W  # sentinel id sorting after every real pillar
+
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    alive = idx < num_points
+
+    col = jnp.floor((x - config.x_min) / config.voxel_x).astype(jnp.int32)
+    row = jnp.floor((y - config.y_min) / config.voxel_y).astype(jnp.int32)
+    in_range = (
+        (col >= 0) & (col < W) & (row >= 0) & (row < H)
+        & (z >= config.z_min) & (z <= config.z_max)
+    )
+    valid = alive & in_range
+    pid = jnp.where(valid, row * W + col, BIG)
+
+    # Stable sort keeps original order within each pillar (tie-break rule 4).
+    order = jnp.argsort(pid, stable=True)
+    s = pid[order]
+
+    new_seg = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    seg_valid = s < BIG
+    first = new_seg & seg_valid
+    pillar_ord = jnp.cumsum(first.astype(jnp.int32)) - 1        # ordinal by id
+    # rank within segment: distance to the most recent segment start
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx, -1))
+    rank = idx - seg_start
+
+    keep = seg_valid & (rank < N) & (pillar_ord < P)
+    dest = jnp.where(keep, pillar_ord * N + rank, P * N)
+
+    pts_sorted = points[order]
+    flat = jnp.zeros((P * N + 1, F), points.dtype).at[dest].set(pts_sorted)
+    raw = flat[: P * N].reshape(P, N, F)
+    mflat = jnp.zeros((P * N + 1,), bool).at[dest].set(keep)
+    mask = mflat[: P * N].reshape(P, N)
+
+    # per-pillar cell coords + validity
+    pdest = jnp.where(first & (pillar_ord < P), pillar_ord, P)
+    pid_per_pillar = jnp.zeros((P + 1,), jnp.int32).at[pdest].set(s.astype(jnp.int32))
+    pid_per_pillar = pid_per_pillar[:P]
+    pillar_mask = jnp.zeros((P + 1,), bool).at[pdest].set(True)[:P]
+    prow = pid_per_pillar // W
+    pcol = pid_per_pillar % W
+    coords = jnp.stack([prow, pcol], axis=-1) * pillar_mask[:, None]
+
+    features = decorate(raw, mask, coords, config)
+    return PillarBatch(features, mask, coords, pillar_mask)
+
+
+def decorate(raw, mask, coords, config: PillarsConfig):
+    """Append (xc, yc, zc) mean offsets and (xp, yp) cell-center offsets.
+
+    raw: (P, N, F); mask: (P, N); coords: (P, 2) -> (P, N, F + 5).
+    """
+    fmask = mask[..., None].astype(raw.dtype)
+    count = jnp.maximum(jnp.sum(fmask, axis=1), 1.0)            # (P, 1)
+    mean_xyz = jnp.sum(raw[..., :3] * fmask, axis=1) / count    # (P, 3)
+    off_mean = raw[..., :3] - mean_xyz[:, None, :]
+
+    cx = config.x_min + (coords[:, 1].astype(raw.dtype) + 0.5) * config.voxel_x
+    cy = config.y_min + (coords[:, 0].astype(raw.dtype) + 0.5) * config.voxel_y
+    off_center = jnp.stack(
+        [raw[..., 0] - cx[:, None], raw[..., 1] - cy[:, None]], axis=-1
+    )
+    out = jnp.concatenate([raw, off_mean, off_center], axis=-1)
+    return out * fmask
+
+
+def scatter_to_bev(pillar_features, coords, pillar_mask, config: PillarsConfig):
+    """Scatter per-pillar vectors onto the dense BEV canvas ("pseudo-image",
+    SURVEY.md section 2 'BEV scatter'). (P, C) -> (H, W, C) NHWC-friendly."""
+    H, W = config.grid_h, config.grid_w
+    flat_idx = jnp.where(
+        pillar_mask, coords[:, 0] * W + coords[:, 1], H * W
+    )
+    C = pillar_features.shape[-1]
+    canvas = jnp.zeros((H * W + 1, C), pillar_features.dtype).at[flat_idx].set(
+        pillar_features
+    )
+    return canvas[: H * W].reshape(H, W, C)
