@@ -14,13 +14,20 @@ if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+# The env var alone is NOT enough: auto-loaded pytest plugins (jaxtyping)
+# import jax before this conftest runs, and JAX_PLATFORMS is read at import
+# time — without the explicit config.update the whole suite silently runs on
+# the real TPU chip (single-client: concurrent pytest runs then deadlock, and
+# bf16 MXU conv precision breaks tight parity tolerances).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
-# Persistent compilation cache: repeat test runs skip XLA compiles entirely.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_pytest")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: do NOT enable jax's persistent compilation cache here — concurrent
+# pytest processes sharing one cache dir produced corrupt executables
+# (silently wrong numerics) and deadlocks in this environment.
 
 
 @pytest.fixture

@@ -1,0 +1,78 @@
+"""PillarFeatureNet: per-point Dense -> masked BatchNorm -> ReLU -> masked
+max-pool over the points of each pillar (SURVEY.md section 2 'PFN';
+PointPillars paper section 2.1).
+
+TPU notes: the (P, N, D) -> (P, N, C) dense layer is one big (P*N, D) x (D, C)
+matmul — MXU work. The masked max is a VPU reduction. BatchNorm statistics are
+computed over *valid points only* (SURVEY.md section 7 hard part d: padded
+pillars must not pollute BN stats — the reference lineage gets this subtly
+wrong by including padding rows).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the channel axis whose batch statistics ignore masked
+    rows. Running stats live in the 'batch_stats' collection (same contract
+    as flax.linen.BatchNorm)."""
+
+    use_running_average: bool = True
+    momentum: float = 0.99
+    eps: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: (..., C); mask: (...,) bool — rows that count toward stats."""
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            fmask = mask[..., None].astype(jnp.float32)
+            count = jnp.maximum(jnp.sum(fmask), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * fmask, axis=tuple(range(x.ndim - 1))) / count
+            var = (
+                jnp.sum((xf - mean) ** 2 * fmask, axis=tuple(range(x.ndim - 1)))
+                / count
+            )
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class PillarFeatureNet(nn.Module):
+    """(P, N, D), mask (P, N) -> (P, C) pillar feature vectors."""
+
+    channels: int = 64
+    use_running_average: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, mask):
+        x = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                     name="linear")(features)
+        x = MaskedBatchNorm(use_running_average=self.use_running_average,
+                            dtype=self.dtype, name="bn")(x, mask)
+        x = nn.relu(x)
+        # masked max over the point axis; empty pillars -> 0
+        neg = jnp.asarray(-1e9, x.dtype)
+        x = jnp.where(mask[..., None], x, neg)
+        x = jnp.max(x, axis=1)
+        any_valid = jnp.any(mask, axis=1, keepdims=True)
+        return jnp.where(any_valid, x, 0.0)

@@ -1,0 +1,57 @@
+"""PointPillars detector module: PFN -> BEV scatter -> RPN -> SSD head
+(SURVEY.md section 2 L2 'Model'; reference forward contract:
+``forward(pillars, coords) -> (cls_logits, box_deltas, dir_logits)``).
+
+The module operates on one sweep's static-shape PillarBatch; batching is done
+with `jax.vmap` outside (XLA then batches the convs). Everything here is a
+pure function of (params, batch) — jit/vmap/pjit compose freely.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.models.backbone import RPNBackbone
+from tpu_pillars.models.head import SSDHead, HeadOutputs
+from tpu_pillars.models.pfn import PillarFeatureNet
+from tpu_pillars.ops.voxelize import PillarBatch, scatter_to_bev
+
+
+class ModelOutputs(NamedTuple):
+    cls_logits: jnp.ndarray   # (A, num_classes)
+    box_deltas: jnp.ndarray   # (A, 7)
+    dir_logits: jnp.ndarray   # (A, 2)
+
+
+class PointPillars(nn.Module):
+    config: PillarsConfig
+    use_running_average: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch: PillarBatch) -> ModelOutputs:
+        cfg = self.config
+        pillar_feats = PillarFeatureNet(
+            channels=cfg.pfn_channels,
+            use_running_average=self.use_running_average,
+            dtype=self.dtype, name="pfn",
+        )(batch.features, batch.mask)
+
+        canvas = scatter_to_bev(pillar_feats, batch.coords, batch.pillar_mask, cfg)
+
+        feats = RPNBackbone(
+            channels=cfg.rpn_channels, layers=cfg.rpn_layers,
+            up_channels=cfg.rpn_up_channels,
+            use_running_average=self.use_running_average,
+            dtype=self.dtype, name="rpn",
+        )(canvas)
+
+        out: HeadOutputs = SSDHead(
+            num_classes=cfg.num_classes, anchors_per_loc=cfg.anchors_per_loc,
+            dtype=self.dtype, name="head",
+        )(feats)
+        return ModelOutputs(*out)
