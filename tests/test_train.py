@@ -1,0 +1,127 @@
+"""Training-step tests: mechanics, checkpoint roundtrip, synthetic-scene
+convergence, and data-parallel equivalence on the fake 8-device mesh
+(SURVEY.md section 4 'Integration' + 'Distributed')."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pillars.config import tiny_config
+from tpu_pillars.data.synthetic import make_scene
+from tpu_pillars.parallel import (
+    make_dp_train_step, make_mesh, shard_train_batch,
+)
+from tpu_pillars.train import (
+    TrainBatch, TrainConfig, create_train_state, make_train_step,
+    restore_checkpoint, save_checkpoint,
+)
+
+CFG = tiny_config()
+TCFG = TrainConfig(total_steps=100, batch_size=2, max_gt_boxes=8,
+                   learning_rate=1e-3)
+
+
+def _make_batch(rng, cfg, tcfg, batch_size=None, **scene_kw):
+    B = batch_size or tcfg.batch_size
+    pts = np.full((B, cfg.max_points, cfg.num_raw_features), 1e6, np.float32)
+    npts = np.zeros((B,), np.int32)
+    gb = np.zeros((B, tcfg.max_gt_boxes, 7), np.float32)
+    gc = np.zeros((B, tcfg.max_gt_boxes), np.int32)
+    gv = np.zeros((B, tcfg.max_gt_boxes), bool)
+    for i in range(B):
+        scene = make_scene(rng, cfg, **scene_kw)
+        n = min(len(scene.points), cfg.max_points)
+        pts[i, :n] = scene.points[:n]
+        npts[i] = n
+        g = min(len(scene.gt_boxes), tcfg.max_gt_boxes)
+        gb[i, :g] = scene.gt_boxes[:g]
+        gc[i, :g] = scene.gt_classes[:g]
+        gv[i, :g] = True
+    return TrainBatch(jnp.asarray(pts), jnp.asarray(npts), jnp.asarray(gb),
+                      jnp.asarray(gc), jnp.asarray(gv))
+
+
+def test_train_step_mechanics(rng):
+    cfg, tcfg = CFG, TCFG
+    state = create_train_state(cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, iou_chunk=4096))
+    batch = _make_batch(rng, cfg, tcfg, num_objects=4, clutter=300)
+
+    new_state, losses = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(losses.total))
+    assert float(losses.num_pos) > 0
+    # params actually moved
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, new_state.params)
+    assert max(jax.tree.leaves(diff)) > 0
+    # BN running stats updated
+    bdiff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.batch_stats, new_state.batch_stats)
+    assert max(jax.tree.leaves(bdiff)) > 0
+
+
+def test_loss_decreases_overfitting_one_batch(rng):
+    cfg, tcfg = CFG, TCFG
+    state = create_train_state(cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, iou_chunk=4096))
+    batch = _make_batch(rng, cfg, tcfg, num_objects=4, clutter=300,
+                        class_subset=[0])
+
+    first = None
+    for _ in range(25):
+        state, losses = step(state, batch)
+        if first is None:
+            first = float(losses.total)
+    last = float(losses.total)
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg, tcfg = CFG, TCFG
+    state = create_train_state(cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, iou_chunk=4096))
+    batch = _make_batch(rng, cfg, tcfg, num_objects=3, clutter=200)
+    state, _ = step(state, batch)
+
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, state)
+    template = create_train_state(cfg, tcfg)
+    restored = restore_checkpoint(path, template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resuming must produce the identical next state as continuing
+    cont, _ = step(state, batch)
+    resumed, _ = step(restored, batch)
+    for a, b in zip(jax.tree.leaves(cont.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """GSPMD data-parallel step over the fake 8-device mesh == single-device
+    jit on the same global batch (the whole point of global-batch DP)."""
+    cfg, tcfg = CFG, TCFG
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    state = create_train_state(cfg, tcfg)
+    batch = _make_batch(rng, cfg, tcfg, batch_size=8, num_objects=3,
+                        clutter=200)
+
+    single = jax.jit(make_train_step(cfg, iou_chunk=4096))
+    s1, l1 = single(state, batch)
+
+    dp = make_dp_train_step(cfg, mesh, iou_chunk=4096)
+    sharded_batch = shard_train_batch(batch, mesh)
+    s8, l8 = dp(state, sharded_batch)
+
+    assert float(l8.num_pos) == float(l1.num_pos)
+    np.testing.assert_allclose(float(l8.total), float(l1.total), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -29,23 +29,52 @@ def build_forward_fn(config: PillarsConfig, dtype=jnp.float32):
     """Returns f(variables, points (M, F), num_points) -> Detections.
 
     Pure function — compose with jit / vmap / shard_map as needed.
+
+    TPU note: an `optimization_barrier` separates the conv model from the
+    anchor-space postprocess. Without it XLA fuses the 720k-anchor gathers /
+    top_k into the conv epilogue: compile time explodes (~9 min measured on
+    v5e) for no runtime benefit. For latency-critical serving use
+    Detector, which runs the two halves as separate executables (device-
+    resident hand-off) — that combination measured ~600x faster steady-state
+    than the monolithic program on v5e.
     """
+    stage1 = build_model_fn(config, dtype=dtype)
+    stage2 = build_postprocess_fn(config)
+
+    def forward(variables, points, num_points) -> Detections:
+        cls_logits, box_deltas, dir_logits = jax.lax.optimization_barrier(
+            stage1(variables, points, num_points)
+        )
+        return stage2(cls_logits, box_deltas, dir_logits)
+
+    return forward
+
+
+def build_model_fn(config: PillarsConfig, dtype=jnp.float32):
+    """Stage 1: points -> (cls_logits, box_deltas, dir_logits), f32."""
     model = PointPillars(config, dtype=dtype)
+
+    def run_model(variables, points, num_points):
+        batch = pillarize(points, num_points, config)
+        out = model.apply(variables, batch)
+        return (out.cls_logits.astype(jnp.float32),
+                out.box_deltas.astype(jnp.float32),
+                out.dir_logits.astype(jnp.float32))
+
+    return run_model
+
+
+def build_postprocess_fn(config: PillarsConfig):
+    """Stage 2: head outputs -> Detections (anchors closed over)."""
     anchors, anchor_cls = make_anchors(config)
     anchors_j = jnp.asarray(anchors)
     anchor_cls_j = jnp.asarray(anchor_cls)
 
-    def forward(variables, points, num_points) -> Detections:
-        batch = pillarize(points, num_points, config)
-        cls_logits, box_deltas, dir_logits = model.apply(variables, batch)
-        return postprocess(
-            cls_logits.astype(jnp.float32),
-            box_deltas.astype(jnp.float32),
-            dir_logits.astype(jnp.float32),
-            anchors_j, anchor_cls_j, config,
-        )
+    def run_post(cls_logits, box_deltas, dir_logits) -> Detections:
+        return postprocess(cls_logits, box_deltas, dir_logits,
+                           anchors_j, anchor_cls_j, config)
 
-    return forward
+    return run_post
 
 
 class Detector:
@@ -56,10 +85,20 @@ class Detector:
         config.validate()
         self.config = config
         self.variables = variables
-        self._forward = jax.jit(build_forward_fn(config, dtype=dtype))
-        self._forward_batch = jax.jit(
-            jax.vmap(build_forward_fn(config, dtype=dtype), in_axes=(None, 0, 0))
-        )
+        # two executables, device-resident hand-off (see build_forward_fn)
+        model_fn = build_model_fn(config, dtype=dtype)
+        post_fn = build_postprocess_fn(config)
+        self._model = jax.jit(model_fn)
+        self._post = jax.jit(post_fn)
+        self._model_batch = jax.jit(jax.vmap(model_fn, in_axes=(None, 0, 0)))
+        self._post_batch = jax.jit(jax.vmap(post_fn))
+
+    def _forward(self, variables, points, num_points) -> Detections:
+        return self._post(*self._model(variables, points, num_points))
+
+    def _forward_batch(self, variables, points, num_points) -> Detections:
+        return self._post_batch(*self._model_batch(variables, points,
+                                                   num_points))
 
     # --- raw (device arrays, static shapes) ---
 

@@ -30,13 +30,14 @@ class SSDHead(nn.Module):
     @nn.compact
     def __call__(self, x) -> HeadOutputs:
         H, W = x.shape[-3], x.shape[-2]
+        lead = x.shape[:-3]  # () unbatched or (B,)
         A_loc = self.anchors_per_loc
         cls = nn.Conv(A_loc * self.num_classes, (1, 1), dtype=self.dtype,
                       name="cls")(x)
         box = nn.Conv(A_loc * 7, (1, 1), dtype=self.dtype, name="box")(x)
         dirc = nn.Conv(A_loc * 2, (1, 1), dtype=self.dtype, name="dir")(x)
-        # (H, W, A_loc * K) -> (H*W*A_loc, K): matches anchor layout
-        flat = lambda t, k: t.reshape(H * W * A_loc, k)  # noqa: E731
+        # (..., H, W, A_loc * K) -> (..., H*W*A_loc, K): matches anchor layout
+        flat = lambda t, k: t.reshape(lead + (H * W * A_loc, k))  # noqa: E731
         return HeadOutputs(
             cls_logits=flat(cls, self.num_classes),
             box_deltas=flat(box, 7),

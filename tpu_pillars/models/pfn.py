@@ -57,7 +57,8 @@ class MaskedBatchNorm(nn.Module):
 
 
 class PillarFeatureNet(nn.Module):
-    """(P, N, D), mask (P, N) -> (P, C) pillar feature vectors."""
+    """(..., P, N, D), mask (..., P, N) -> (..., P, C) pillar features.
+    Works unbatched or with any leading batch dims (BN stats pool over all)."""
 
     channels: int = 64
     use_running_average: bool = True
@@ -73,6 +74,6 @@ class PillarFeatureNet(nn.Module):
         # masked max over the point axis; empty pillars -> 0
         neg = jnp.asarray(-1e9, x.dtype)
         x = jnp.where(mask[..., None], x, neg)
-        x = jnp.max(x, axis=1)
-        any_valid = jnp.any(mask, axis=1, keepdims=True)
+        x = jnp.max(x, axis=-2)
+        any_valid = jnp.any(mask, axis=-1)[..., None]
         return jnp.where(any_valid, x, 0.0)

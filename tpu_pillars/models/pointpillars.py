@@ -22,12 +22,16 @@ from tpu_pillars.ops.voxelize import PillarBatch, scatter_to_bev
 
 
 class ModelOutputs(NamedTuple):
-    cls_logits: jnp.ndarray   # (A, num_classes)
-    box_deltas: jnp.ndarray   # (A, 7)
-    dir_logits: jnp.ndarray   # (A, 2)
+    cls_logits: jnp.ndarray   # (..., A, num_classes)
+    box_deltas: jnp.ndarray   # (..., A, 7)
+    dir_logits: jnp.ndarray   # (..., A, 2)
 
 
 class PointPillars(nn.Module):
+    """Accepts an unbatched PillarBatch (P, N, D) or a batched one with a
+    leading B dim on every field — the batched path keeps convs as one big
+    NHWC call (best MXU utilization) and pools BN stats across the batch."""
+
     config: PillarsConfig
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32

@@ -2,12 +2,20 @@
 
 Replaces the reference lineage's numba/CUDA rotated-IoU hot loops (SURVEY.md
 section 2 'Target assigner' / 'Rotated NMS') with a data-parallel formulation
-that XLA maps onto the VPU: the intersection of two convex quadrilaterals is
-computed from a fixed 24-slot candidate-vertex buffer
-    (4 corners of A inside B) + (4 corners of B inside A)
-  + (16 edge-pair intersection points)
-ordered by angle around their centroid, then a masked shoelace. No dynamic
-shapes, no sequential clipping loop — every pair is independent VPU work.
+that XLA maps onto the VPU — **sort-free and gather-free**, via Green's
+theorem: for convex polygons,
+
+    area(A ^ B) = oint_{d(A^B)} x dy
+                = sum_{edges e of A} int_{e ^ B} x dy
+                + sum_{edges e of B} int_{e ^ A} x dy
+
+because the boundary of the intersection is exactly the pieces of each
+polygon's boundary inside the other (both traversed CCW). Each edge clips
+against the other quad's 4 half-planes in closed form (a parameter-interval
+[t_lo, t_hi] update), then contributes a closed-form line integral — ~400
+elementwise flops per pair, no candidate-vertex buffers, no angle argsort,
+no take_along_axis. (A previous candidate-vertex + angle-sort formulation
+measured 528 ms for a 1024x1024 pair matrix on v5e; this one is ~1 ms.)
 
 All functions broadcast over leading batch dims; boxes are packed
 ``[x, y, z, w, l, h, yaw]`` (the z/h columns are ignored by the BEV ops).
@@ -38,81 +46,73 @@ def corners_bev_jax(boxes):
     return jnp.stack([gx, gy], axis=-1)
 
 
-def _cross2(o, a, b):
-    """2-D cross of (a - o) x (b - o); inputs (..., 2)."""
-    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
-        a[..., 1] - o[..., 1]
-    ) * (b[..., 0] - o[..., 0])
+def _half_edge_integral(poly, clip):
+    """Sum over `poly`'s edges of the line integral int x dy restricted to
+    the inside of convex CCW `clip`.
 
-
-def _points_in_convex_quad(pts, quad):
-    """pts (..., P, 2) inside CCW quad (..., 4, 2) -> (..., P) bool."""
-    a = quad[..., None, :, :]                      # (..., 1, 4, 2)
-    b = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
-    p = pts[..., :, None, :]                       # (..., P, 1, 2)
-    side = _cross2(a, b, p)                        # (..., P, 4)
-    return jnp.all(side >= -_EPS, axis=-1)
-
-
-def _edge_intersections(qa, qb):
-    """All 16 edge-pair intersection points of two quads.
-
-    qa, qb: (..., 4, 2) -> points (..., 16, 2), valid (..., 16) bool.
+    poly, clip: (..., 4, 2) -> (...,). One of the two terms of the Green's-
+    theorem decomposition in the module docstring.
     """
-    a1 = qa[..., :, None, :]                       # (..., 4, 1, 2)
-    a2 = jnp.roll(qa, -1, axis=-2)[..., :, None, :]
-    b1 = qb[..., None, :, :]                       # (..., 1, 4, 2)
-    b2 = jnp.roll(qb, -1, axis=-2)[..., None, :, :]
-    r = a2 - a1                                    # (..., 4, 1, 2)
-    s = b2 - b1                                    # (..., 1, 4, 2)
-    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]        # (..., 4, 4)
-    d = b1 - a1
-    t_num = d[..., 0] * s[..., 1] - d[..., 1] * s[..., 0]
-    u_num = d[..., 0] * r[..., 1] - d[..., 1] * r[..., 0]
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    t = t_num / safe
-    u = u_num / safe
-    valid = (
-        (jnp.abs(denom) > _EPS)
-        & (t >= -_EPS) & (t <= 1 + _EPS)
-        & (u >= -_EPS) & (u <= 1 + _EPS)
+    p1 = poly                                       # (..., 4, 2)
+    p2 = jnp.roll(poly, -1, axis=-2)
+    d = p2 - p1                                     # edge directions
+
+    # clip half-planes: inside of CCW clip edge (a -> b) is n.p - c <= 0
+    # with n = (dy_e, -dx_e), c = n.a
+    a = clip
+    e = jnp.roll(clip, -1, axis=-2) - clip          # (..., 4, 2)
+    n = jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
+    c = jnp.sum(n * a, axis=-1)                     # (..., 4)
+
+    # broadcast: edges of poly (axis -2) x half-planes of clip (axis -1)
+    # f(t) = f0 + t * nd  with  f0 = n.p1 - c,  nd = n.d
+    f0 = (
+        p1[..., :, None, 0] * n[..., None, :, 0]
+        + p1[..., :, None, 1] * n[..., None, :, 1]
+        - c[..., None, :]
+    )                                               # (..., 4poly, 4clip)
+    nd = (
+        d[..., :, None, 0] * n[..., None, :, 0]
+        + d[..., :, None, 1] * n[..., None, :, 1]
     )
-    pt = a1 + t[..., None] * r                      # (..., 4, 4, 2)
-    batch = qa.shape[:-2]
-    return pt.reshape(batch + (16, 2)), valid.reshape(batch + (16,))
+
+    parallel = jnp.abs(nd) <= _EPS
+    t_star = -f0 / jnp.where(parallel, 1.0, nd)
+    big = jnp.asarray(1e9, poly.dtype)
+    # exiting constraints (nd > 0) cap t_hi; entering (nd < 0) raise t_lo;
+    # parallel: satisfied iff f0 <= 0, else the interval is empty
+    hi_cand = jnp.where(
+        parallel, jnp.where(f0 <= _EPS, big, -big),
+        jnp.where(nd > 0, t_star, big),
+    )
+    lo_cand = jnp.where(
+        parallel, jnp.where(f0 <= _EPS, -big, big),
+        jnp.where(nd < 0, t_star, -big),
+    )
+    t_hi = jnp.minimum(jnp.min(hi_cand, axis=-1), 1.0)   # (..., 4)
+    t_lo = jnp.maximum(jnp.max(lo_cand, axis=-1), 0.0)
+    t_hi = jnp.maximum(t_hi, t_lo)                        # empty -> zero span
+
+    # int_{t_lo}^{t_hi} x(t) y'(t) dt,  x(t) = x1 + t dx,  y' = dy
+    span = t_hi - t_lo
+    sq = 0.5 * (t_hi * t_hi - t_lo * t_lo)
+    contrib = d[..., 1] * (p1[..., 0] * span + d[..., 0] * sq)
+    return jnp.sum(contrib, axis=-1)
 
 
 def convex_quad_intersect_area(qa, qb):
-    """Intersection area of CCW quads qa, qb: (..., 4, 2) -> (...,)."""
-    in_ab = _points_in_convex_quad(qa, qb)          # (..., 4)
-    in_ba = _points_in_convex_quad(qb, qa)          # (..., 4)
-    xpts, xval = _edge_intersections(qa, qb)        # (..., 16, 2), (..., 16)
+    """Intersection area of CCW quads qa, qb: (..., 4, 2) -> (...,).
 
-    pts = jnp.concatenate([qa, qb, xpts], axis=-2)             # (..., 24, 2)
-    mask = jnp.concatenate([in_ab, in_ba, xval], axis=-1)      # (..., 24)
-
-    count = jnp.sum(mask, axis=-1)                              # (...,)
-    fmask = mask[..., None].astype(pts.dtype)
-    centroid = jnp.sum(pts * fmask, axis=-2) / jnp.maximum(
-        count[..., None].astype(pts.dtype), 1.0
-    )
-    rel = pts - centroid[..., None, :]
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(mask, ang, jnp.inf)             # invalid slots sort last
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
-
-    idx = jnp.arange(pts.shape[-2])
-    nxt = jnp.where(idx[None] + 1 < count[..., None], idx + 1, 0)  # wrap at k
-    nxt = jnp.broadcast_to(nxt, sorted_pts.shape[:-1])
-    nxt_pts = jnp.take_along_axis(sorted_pts, nxt[..., None], axis=-2)
-
-    contrib = (
-        sorted_pts[..., 0] * nxt_pts[..., 1] - sorted_pts[..., 1] * nxt_pts[..., 0]
-    )
-    live = idx[None] < count[..., None]
-    area = 0.5 * jnp.abs(jnp.sum(jnp.where(live, contrib, 0.0), axis=-1))
-    return jnp.where(count >= 3, area, 0.0)
+    Coordinates are re-centered per pair before integrating: the boundary
+    integral is translation-invariant in exact math, but f32 cancellation in
+    the half-plane offsets scales with |coordinate|, so working at box scale
+    keeps far-apart pairs from leaking phantom area.
+    """
+    mid = 0.5 * (jnp.mean(qa, axis=-2) + jnp.mean(qb, axis=-2))
+    qa = qa - mid[..., None, :]
+    qb = qb - mid[..., None, :]
+    area = _half_edge_integral(qa, qb) + _half_edge_integral(qb, qa)
+    return jnp.maximum(area, 0.0)
 
 
 @jax.jit
@@ -130,11 +130,24 @@ def rotated_iou_bev(boxes1, boxes2):
     )
     a1 = (boxes1[:, 3] * boxes1[:, 4])[:, None]
     a2 = (boxes2[:, 3] * boxes2[:, 4])[None, :]
-    # intersection can never exceed either area; clamping also zeroes the
-    # garbage candidate hull a degenerate (zero-size) box would produce
+    # exact gate: BEV footprints cannot intersect beyond the sum of their
+    # circumradii — also zeroes any residual f32 leakage for far pairs
+    inter = jnp.where(_bev_disjoint(boxes1, boxes2), 0.0, inter)
+    # intersection can never exceed either area (also kills the degenerate
+    # zero-size-box case exactly)
     inter = jnp.minimum(inter, jnp.minimum(a1, a2))
     union = jnp.maximum(a1 + a2 - inter, _EPS)
     return jnp.clip(inter / union, 0.0, 1.0)
+
+
+def _bev_disjoint(boxes1, boxes2):
+    """(N, 7), (M, 7) -> (N, M) bool: certainly-zero-overlap pairs."""
+    dx = boxes1[:, None, 0] - boxes2[None, :, 0]
+    dy = boxes1[:, None, 1] - boxes2[None, :, 1]
+    r1 = 0.5 * jnp.sqrt(boxes1[:, 3] ** 2 + boxes1[:, 4] ** 2)
+    r2 = 0.5 * jnp.sqrt(boxes2[:, 3] ** 2 + boxes2[:, 4] ** 2)
+    rr = r1[:, None] + r2[None, :]
+    return dx * dx + dy * dy > rr * rr
 
 
 @partial(jax.jit, static_argnames="chunk")
@@ -170,6 +183,7 @@ def iou_3d(boxes1, boxes2):
         - jnp.maximum(z1_lo[:, None], z2_lo[None, :]),
         0.0,
     )
+    inter_bev = jnp.where(_bev_disjoint(boxes1, boxes2), 0.0, inter_bev)
     inter_bev = jnp.minimum(
         inter_bev,
         jnp.minimum((boxes1[:, 3] * boxes1[:, 4])[:, None],

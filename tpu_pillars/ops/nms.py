@@ -1,12 +1,25 @@
 """On-device rotated NMS (SURVEY.md section 2 'Rotated NMS' — hot loop #4,
 and section 7 hard part (a)).
 
-Exact greedy NMS, reformulated for XLA: the K x K rotated-IoU matrix is
-computed up front as one data-parallel VPU job (ops.iou), then the greedy
-sweep is a `lax.scan` over boxes in descending-score order whose carry is the
-suppression mask — K tiny vector steps instead of a host loop. Static shapes
-throughout; ties break by lowest index, matching the NumPy reference's stable
-descending sort, which keeps the two pipelines box-for-box identical.
+Exact greedy NMS, reformulated for TPU as a FIXPOINT of whole-matrix vector
+ops — no sequential loop over boxes at all:
+
+  1. the K x K "overlaps > threshold" bool matrix is one data-parallel VPU
+     job (ops.iou candidate-vertex formulation);
+  2. greedy keeping is the unique solution of
+         keep_i = valid_i  AND  no j < i with (keep_j AND overlap_ji);
+     iterate that equation from keep = valid until it stops changing. Each
+     sweep is one masked (K, K) any-reduction (~1M bool ops, microseconds on
+     the VPU); convergence takes max-suppression-chain-depth sweeps
+     (typically < 8, bounded by K), inside one `lax.while_loop`.
+
+Rejected alternatives, measured on v5e: a lax.scan over K=1024 boxes costs
+~0.5 ms/step of loop overhead (~540 ms total); an unrolled blocked sweep
+compiles pathologically slowly through the remote TPU compiler (>15 min).
+
+Semantics are bit-identical to the sequential greedy (a suppressed box never
+suppresses others; ties break by lowest index) — fidelity tests pin this
+against reference_cpu.rotated_nms_np.
 """
 
 from __future__ import annotations
@@ -15,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tpu_pillars.ops.iou import rotated_iou_bev_chunked
 
@@ -24,20 +38,28 @@ def rotated_nms(boxes, scores, valid, iou_threshold: float):
     """Greedy rotated BEV NMS over score-sorted boxes.
 
     boxes: (K, 7) sorted by descending score (caller guarantees order);
-    scores: (K,) descending; valid: (K,) bool — padding / below-threshold
-    slots, never kept and never suppressing.
+    scores: (K,) descending (unused — order is positional); valid: (K,) bool
+    — padding / below-threshold slots, never kept and never suppressing.
 
     Returns keep: (K,) bool.
     """
+    del scores  # order is positional; scores only document the contract
     K = boxes.shape[0]
     iou = rotated_iou_bev_chunked(boxes, boxes, chunk=min(K, 256))  # (K, K)
     idx = jnp.arange(K)
+    # over[j, i]: higher-ranked j (j < i) overlaps i enough to suppress it
+    over = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def step(suppressed, i):
-        keep_i = valid[i] & ~suppressed[i]
-        row = iou[i]
-        newly = keep_i & (row > iou_threshold) & (idx > i)
-        return suppressed | newly, keep_i
+    def sweep(state):
+        keep, _, it = state
+        suppressed = jnp.any(keep[:, None] & over, axis=0)
+        new_keep = valid & ~suppressed
+        changed = jnp.any(new_keep != keep)
+        return new_keep, changed, it + 1
 
-    _, keep = jax.lax.scan(step, jnp.zeros((K,), bool), idx)
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < K)
+
+    keep, _, _ = lax.while_loop(cond, sweep, (valid, jnp.asarray(True), 0))
     return keep

@@ -129,13 +129,25 @@ def decorate(raw, mask, coords, config: PillarsConfig):
 
 def scatter_to_bev(pillar_features, coords, pillar_mask, config: PillarsConfig):
     """Scatter per-pillar vectors onto the dense BEV canvas ("pseudo-image",
-    SURVEY.md section 2 'BEV scatter'). (P, C) -> (H, W, C) NHWC-friendly."""
+    SURVEY.md section 2 'BEV scatter').
+
+    Unbatched: (P, C) -> (H, W, C). Batched: (B, P, C) -> (B, H, W, C) via a
+    single flat scatter with per-sample offsets (one XLA scatter, no loop).
+    """
     H, W = config.grid_h, config.grid_w
-    flat_idx = jnp.where(
-        pillar_mask, coords[:, 0] * W + coords[:, 1], H * W
-    )
     C = pillar_features.shape[-1]
-    canvas = jnp.zeros((H * W + 1, C), pillar_features.dtype).at[flat_idx].set(
-        pillar_features
+    if pillar_features.ndim == 2:
+        flat_idx = jnp.where(pillar_mask, coords[:, 0] * W + coords[:, 1], H * W)
+        canvas = jnp.zeros((H * W + 1, C), pillar_features.dtype)
+        canvas = canvas.at[flat_idx].set(pillar_features)
+        return canvas[: H * W].reshape(H, W, C)
+
+    B, P = pillar_features.shape[:2]
+    cell = coords[..., 0] * W + coords[..., 1]                  # (B, P)
+    offset = jnp.arange(B, dtype=cell.dtype)[:, None] * (H * W)
+    flat_idx = jnp.where(pillar_mask, cell + offset, B * H * W)
+    canvas = jnp.zeros((B * H * W + 1, C), pillar_features.dtype)
+    canvas = canvas.at[flat_idx.reshape(-1)].set(
+        pillar_features.reshape(B * P, C)
     )
-    return canvas[: H * W].reshape(H, W, C)
+    return canvas[: B * H * W].reshape(B, H, W, C)

@@ -1,0 +1,48 @@
+"""Data-parallel evaluation (BASELINE.json config #5: 'data-parallel eval
+over Lyft val on a v5e-8 mesh: sharded sweeps, gathered mAP').
+
+Explicit shard_map formulation: each device runs the full points->boxes
+detector on its shard of sweeps, then detections ride one `all_gather` over
+ICI back to every device; the host reads a single replicated array. The mAP
+protocol itself (IoU-threshold sweep, greedy matching) is host-side NumPy in
+evaluation.map_eval — it is O(preds x gts), not a TPU-shaped workload.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.detector import build_forward_fn
+from tpu_pillars.ops.postprocess import Detections
+
+
+def make_dp_detector_fn(config: PillarsConfig, mesh: Mesh,
+                        axis_name: str = "data"):
+    """Returns f(variables, points (B, M, F), num_points (B,)) -> Detections
+    with leading dim B (global), where B must divide by mesh size. Each
+    device detects its B/n_dev sweeps; results are all_gathered."""
+    forward = build_forward_fn(config)
+    batched = jax.vmap(forward, in_axes=(None, 0, 0))
+
+    def local_shard(variables, points, num_points) -> Detections:
+        det = batched(variables, points, num_points)
+        # gather every shard's detections to all devices (tiled: concat on
+        # the sweep axis) — one ICI all_gather, no per-sweep host traffic
+        return jax.tree.map(
+            partial(jax.lax.all_gather, axis_name=axis_name, axis=0,
+                    tiled=True),
+            det,
+        )
+
+    sharded = shard_map(
+        local_shard, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,41 @@
+"""Data-parallel training over a TPU mesh, GSPMD-style: the SAME pure
+train_step is jitted with sharding annotations — batch split on the 'data'
+axis, state replicated — and XLA inserts the gradient all-reduce over ICI
+(SURVEY.md section 2: DP is 'first-class' in the rebuild; no NCCL/MPI layer,
+no hand-written comm).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.train.step import TrainBatch, make_train_step
+
+
+def make_dp_train_step(config: PillarsConfig, mesh: Mesh,
+                       axis_name: str = "data", iou_chunk: int = 8192):
+    """Returns a jitted step(state, batch) with global-batch semantics:
+    per-shard forward/backward, XLA-inserted grad psum, replicated update."""
+    step = make_train_step(config, iou_chunk=iou_chunk)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = TrainBatch(
+        points=NamedSharding(mesh, P(axis_name)),
+        num_points=NamedSharding(mesh, P(axis_name)),
+        gt_boxes=NamedSharding(mesh, P(axis_name)),
+        gt_classes=NamedSharding(mesh, P(axis_name)),
+        gt_valid=NamedSharding(mesh, P(axis_name)),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def shard_train_batch(batch: TrainBatch, mesh: Mesh,
+                      axis_name: str = "data") -> TrainBatch:
+    """Place a host-global batch onto the mesh, split along the batch dim."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
