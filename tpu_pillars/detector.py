@@ -93,6 +93,14 @@ class Detector:
         self._model_batch = jax.jit(jax.vmap(model_fn, in_axes=(None, 0, 0)))
         self._post_batch = jax.jit(jax.vmap(post_fn))
 
+        # wire format: one (D, 10) array per sweep -> a single device-to-host
+        # transfer [x, y, z, w, l, h, yaw, score, class, valid]
+        def post_packed(cls_logits, box_deltas, dir_logits):
+            return pack_detections(post_fn(cls_logits, box_deltas, dir_logits))
+
+        self._post_packed = jax.jit(post_packed)
+        self._post_packed_batch = jax.jit(jax.vmap(post_packed))
+
     def _forward(self, variables, points, num_points) -> Detections:
         return self._post(*self._model(variables, points, num_points))
 
@@ -119,13 +127,52 @@ class Detector:
         """points_batch (B, M, F) already padded; num_points (B,)."""
         return self._forward_batch(self.variables, points_batch, num_points)
 
+    def predict_packed(self, points: np.ndarray):
+        """One sweep -> device (D, 10) packed detections (single transfer)."""
+        padded, n = self.pad_points(points)
+        return self._post_packed(
+            *self._model(self.variables, jnp.asarray(padded), n))
+
+    def predict_packed_batch(self, points_batch, num_points):
+        return self._post_packed_batch(
+            *self._model_batch(self.variables, points_batch, num_points))
+
     # --- public API: points -> List[Box3D] ---
 
     def predict(self, points: np.ndarray, token: str = "",
                 lidar_to_global: Optional[Pose] = None) -> List[Box3D]:
-        det = jax.tree.map(np.asarray, self.predict_raw(points))
-        return detections_to_boxes(det, self.config, token=token,
-                                   lidar_to_global=lidar_to_global)
+        packed = np.asarray(self.predict_packed(points))
+        return packed_to_boxes(packed, self.config, token=token,
+                               lidar_to_global=lidar_to_global)
+
+
+def pack_detections(det: Detections):
+    """Detections -> (D, 10) f32 [x,y,z,w,l,h,yaw,score,class,valid]."""
+    return jnp.concatenate(
+        [
+            det.boxes,
+            det.scores[:, None],
+            det.class_ids.astype(jnp.float32)[:, None],
+            det.valid.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def packed_to_boxes(packed: np.ndarray, config: PillarsConfig, token: str = "",
+                    lidar_to_global: Optional[Pose] = None) -> List[Box3D]:
+    names = config.class_names
+    out: List[Box3D] = []
+    for row in packed:
+        if row[9] == 0.0:
+            continue
+        box = Box3D.from_array(row[:7], label=names[int(row[8])],
+                               score=float(row[7]), token=token)
+        if lidar_to_global is not None:
+            box = box.transformed(lidar_to_global.rotation,
+                                  lidar_to_global.translation)
+        out.append(box)
+    return out
 
 
 def detections_to_boxes(det: Detections, config: PillarsConfig, token: str = "",
