@@ -123,5 +123,7 @@ def test_dp_train_step_matches_single_device(rng):
 
     assert float(l8.num_pos) == float(l1.num_pos)
     np.testing.assert_allclose(float(l8.total), float(l1.total), rtol=1e-4)
+    # collective (psum-tree) reduction order differs from the single-device
+    # sum; Adam's rsqrt at step 1 amplifies that f32 noise to ~2e-5
     for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

@@ -100,3 +100,24 @@ def make_scene(rng: np.random.Generator, config: PillarsConfig,
     boxes = [Box3D.from_array(b, label=names[c])
              for b, c in zip(gt_boxes, gt_classes)]
     return SyntheticScene(points, gt_boxes, gt_classes, boxes)
+
+
+def scenes_to_train_batch(scenes, config: PillarsConfig, max_gt_boxes: int):
+    """Pad a list of scenes into a static-shape TrainBatch-compatible tuple
+    (points, num_points, gt_boxes, gt_classes, gt_valid), all NumPy."""
+    B = len(scenes)
+    pts = np.full((B, config.max_points, config.num_raw_features), 1e6,
+                  np.float32)
+    npts = np.zeros((B,), np.int32)
+    gb = np.zeros((B, max_gt_boxes, 7), np.float32)
+    gc = np.zeros((B, max_gt_boxes), np.int32)
+    gv = np.zeros((B, max_gt_boxes), bool)
+    for i, scene in enumerate(scenes):
+        n = min(len(scene.points), config.max_points)
+        pts[i, :n] = scene.points[:n, : config.num_raw_features]
+        npts[i] = n
+        g = min(len(scene.gt_boxes), max_gt_boxes)
+        gb[i, :g] = scene.gt_boxes[:g]
+        gc[i, :g] = scene.gt_classes[:g]
+        gv[i, :g] = True
+    return pts, npts, gb, gc, gv

@@ -50,16 +50,19 @@ def rotated_nms(boxes, scores, valid, iou_threshold: float):
     # over[j, i]: higher-ranked j (j < i) overlaps i enough to suppress it
     over = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
+    # carry = (keep, prev_keep, it); both keep arrays derive from `valid` so
+    # the carry stays type/vma-consistent under shard_map
     def sweep(state):
         keep, _, it = state
         suppressed = jnp.any(keep[:, None] & over, axis=0)
         new_keep = valid & ~suppressed
-        changed = jnp.any(new_keep != keep)
-        return new_keep, changed, it + 1
+        return new_keep, keep, it + 1
 
     def cond(state):
-        _, changed, it = state
-        return changed & (it < K)
+        keep, prev, it = state
+        return (it == 0) | (jnp.any(keep != prev) & (it < K))
 
-    keep, _, _ = lax.while_loop(cond, sweep, (valid, jnp.asarray(True), 0))
+    keep, _, _ = lax.while_loop(
+        cond, sweep, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
+    )
     return keep

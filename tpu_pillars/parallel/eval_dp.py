@@ -43,6 +43,8 @@ def make_dp_detector_fn(config: PillarsConfig, mesh: Mesh,
         local_shard, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False,
+        # outputs ARE replicated (tiled all_gather) but the static vma
+        # checker cannot infer it through the gathered pytree
+        check_vma=False,
     )
     return jax.jit(sharded)

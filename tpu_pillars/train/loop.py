@@ -1,0 +1,93 @@
+"""Training driver (SURVEY.md L4 / 3.2, rebuilt): batches in, jitted
+train_step on device, JSONL metrics, periodic checkpoints, optional
+data-parallel mesh. Runnable directly for a synthetic-data smoke train:
+
+    python -m tpu_pillars.train.loop --steps 200 --batch 4 --out /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from tpu_pillars.config import PillarsConfig, tiny_config
+from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+from tpu_pillars.train.checkpoint import save_checkpoint
+from tpu_pillars.train.state import TrainConfig, TrainState, create_train_state
+from tpu_pillars.train.step import TrainBatch, make_train_step
+from tpu_pillars.utils.logging import JsonlLogger
+
+
+def synthetic_batches(config: PillarsConfig, tcfg: TrainConfig, seed: int = 0,
+                      **scene_kw) -> Iterable[TrainBatch]:
+    """Endless stream of synthetic-scene batches (SURVEY.md section 4:
+    synthetic scenes are the data story absent the real dataset)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        scenes = [make_scene(rng, config, **scene_kw)
+                  for _ in range(tcfg.batch_size)]
+        yield TrainBatch(*scenes_to_train_batch(scenes, config,
+                                                tcfg.max_gt_boxes))
+
+
+def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
+        step_fn: Optional[Callable] = None, config: PillarsConfig = None,
+        logger: Optional[JsonlLogger] = None, log_every: int = 10,
+        ckpt_path: Optional[str] = None, ckpt_every: int = 500) -> TrainState:
+    """Run `steps` optimizer steps. step_fn defaults to the jitted
+    single-device train step for `config`."""
+    if step_fn is None:
+        step_fn = jax.jit(make_train_step(config))
+    logger = logger or JsonlLogger(echo=False)
+    t0 = time.perf_counter()
+    for i, batch in enumerate(batches):
+        if i >= steps:
+            break
+        state, losses = step_fn(state, batch)
+        if (i + 1) % log_every == 0 or i + 1 == steps:
+            logger.log(
+                "train_step", step=int(state.step),
+                loss=float(losses.total), cls=float(losses.cls),
+                loc=float(losses.loc), dir=float(losses.dir),
+                num_pos=float(losses.num_pos),
+                steps_per_s=round((i + 1) / (time.perf_counter() - t0), 3),
+            )
+        if ckpt_path and (i + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_path, state)
+            logger.log("checkpoint", step=int(state.step), path=ckpt_path)
+    if ckpt_path:
+        save_checkpoint(ckpt_path, state)
+    return state
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", type=str, default="/tmp/tpu_pillars_run")
+    p.add_argument("--full-size", action="store_true",
+                   help="full 400x400 config instead of the tiny smoke config")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    config = PillarsConfig() if args.full_size else tiny_config()
+    tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
+                       batch_size=args.batch)
+    state = create_train_state(config, tcfg,
+                               rng_key=jax.random.PRNGKey(args.seed))
+    with JsonlLogger(f"{args.out}/train.jsonl", echo=True) as logger:
+        logger.log("start", steps=args.steps, batch=args.batch,
+                   backend=jax.default_backend(),
+                   params=sum(x.size for x in jax.tree.leaves(state.params)))
+        fit(state, synthetic_batches(config, tcfg, seed=args.seed),
+            steps=args.steps, config=config, logger=logger,
+            ckpt_path=f"{args.out}/ckpt.msgpack")
+
+
+if __name__ == "__main__":
+    main()
