@@ -50,13 +50,73 @@ def build_forward_fn(config: PillarsConfig, dtype=jnp.float32):
     return forward
 
 
-def build_model_fn(config: PillarsConfig, dtype=jnp.float32):
-    """Stage 1: points -> (cls_logits, box_deltas, dir_logits), f32."""
+def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
+                   use_pallas_pfn: bool = True):
+    """Stage 1: points -> (cls_logits, box_deltas, dir_logits), f32.
+
+    With `use_pallas_pfn` the PillarFeatureNet runs as the fused Pallas
+    kernel (ops.pfn_pallas): inference BN folds into the matmul and the
+    (P, N, C) activation never touches HBM. Off-TPU backends run the same
+    kernel in interpret mode, so fidelity tests cover it everywhere.
+    """
+    from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
+    from tpu_pillars.ops.voxelize import scatter_to_bev
+
     model = PointPillars(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
         batch = pillarize(points, num_points, config)
-        out = model.apply(variables, batch)
+        if use_pallas_pfn:
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            pillar_feats = pfn_fused(batch.features, batch.mask, w, b)
+            canvas = scatter_to_bev(pillar_feats, batch.coords,
+                                    batch.pillar_mask, config)
+            out = model.apply(variables, canvas,
+                              method=_PP.detect_from_canvas)
+        else:
+            out = model.apply(variables, batch)
+        return (out.cls_logits.astype(jnp.float32),
+                out.box_deltas.astype(jnp.float32),
+                out.dir_logits.astype(jnp.float32))
+
+    return run_model
+
+
+def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
+                           use_pallas_pfn: bool = True):
+    """Natively batched stage 1: (B, M, F) points -> (B, A, ·) head outputs.
+
+    vmap-ing the single-sweep fn would also vmap the Pallas PFN kernel
+    (slow batching rule); instead the (B, P, N, D) pillars reshape to
+    (B*P, N, D) for ONE kernel launch, and the convs run as one NHWC batch.
+    """
+    from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
+    from tpu_pillars.ops.voxelize import scatter_to_bev
+
+    model = PointPillars(config, dtype=dtype)
+    pillarize_b = jax.vmap(lambda p, n: pillarize(p, n, config))
+
+    def run_model(variables, points, num_points):
+        batch = pillarize_b(points, num_points)
+        if use_pallas_pfn:
+            B, P, N, D = batch.features.shape
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            flat = pfn_fused(batch.features.reshape(B * P, N, D),
+                             batch.mask.reshape(B * P, N), w, b)
+            canvas = scatter_to_bev(flat.reshape(B, P, -1), batch.coords,
+                                    batch.pillar_mask, config)
+            out = model.apply(variables, canvas,
+                              method=_PP.detect_from_canvas)
+        else:
+            out = model.apply(variables, batch)
         return (out.cls_logits.astype(jnp.float32),
                 out.box_deltas.astype(jnp.float32),
                 out.dir_logits.astype(jnp.float32))
@@ -81,16 +141,19 @@ class Detector:
     """Host-facing wrapper: pads clouds to the static budget, runs the jitted
     pipeline, converts to Box3D (optionally into the global frame)."""
 
-    def __init__(self, config: PillarsConfig, variables, dtype=jnp.float32):
+    def __init__(self, config: PillarsConfig, variables, dtype=jnp.float32,
+                 use_pallas_pfn: bool = True):
         config.validate()
         self.config = config
         self.variables = variables
         # two executables, device-resident hand-off (see build_forward_fn)
-        model_fn = build_model_fn(config, dtype=dtype)
+        model_fn = build_model_fn(config, dtype=dtype,
+                                  use_pallas_pfn=use_pallas_pfn)
         post_fn = build_postprocess_fn(config)
         self._model = jax.jit(model_fn)
         self._post = jax.jit(post_fn)
-        self._model_batch = jax.jit(jax.vmap(model_fn, in_axes=(None, 0, 0)))
+        self._model_batch = jax.jit(build_model_fn_batched(
+            config, dtype=dtype, use_pallas_pfn=use_pallas_pfn))
         self._post_batch = jax.jit(jax.vmap(post_fn))
 
         # wire format: one (D, 10) array per sweep -> a single device-to-host

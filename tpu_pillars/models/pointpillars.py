@@ -36,26 +36,33 @@ class PointPillars(nn.Module):
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, batch: PillarBatch) -> ModelOutputs:
+    def setup(self):
         cfg = self.config
-        pillar_feats = PillarFeatureNet(
+        self.pfn = PillarFeatureNet(
             channels=cfg.pfn_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype, name="pfn",
-        )(batch.features, batch.mask)
-
-        canvas = scatter_to_bev(pillar_feats, batch.coords, batch.pillar_mask, cfg)
-
-        feats = RPNBackbone(
+            dtype=self.dtype,
+        )
+        self.rpn = RPNBackbone(
             channels=cfg.rpn_channels, layers=cfg.rpn_layers,
             up_channels=cfg.rpn_up_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype, name="rpn",
-        )(canvas)
+            dtype=self.dtype,
+        )
+        self.head = SSDHead(
+            num_classes=cfg.num_classes,
+            anchors_per_loc=cfg.anchors_per_loc,
+            dtype=self.dtype,
+        )
 
-        out: HeadOutputs = SSDHead(
-            num_classes=cfg.num_classes, anchors_per_loc=cfg.anchors_per_loc,
-            dtype=self.dtype, name="head",
-        )(feats)
+    def __call__(self, batch: PillarBatch) -> ModelOutputs:
+        pillar_feats = self.pfn(batch.features, batch.mask)
+        canvas = scatter_to_bev(pillar_feats, batch.coords,
+                                batch.pillar_mask, self.config)
+        return self.detect_from_canvas(canvas)
+
+    def detect_from_canvas(self, canvas) -> ModelOutputs:
+        """RPN + head only — entry point for the fused Pallas PFN path,
+        which computes pillar features and the canvas outside flax."""
+        out: HeadOutputs = self.head(self.rpn(canvas))
         return ModelOutputs(*out)
