@@ -174,12 +174,21 @@ class Detector:
     # --- raw (device arrays, static shapes) ---
 
     def pad_points(self, points: np.ndarray):
+        """Pad/crop to the static (max_points, F) budget. F is pinned by the
+        config: num_raw_features raw channels plus the sweep-lag channel when
+        multi-sweep is on. Extra input columns (e.g. the Lyft ring index) are
+        dropped; missing ones are an error."""
         cfg = self.config
-        m = cfg.max_points
-        n_feat = points.shape[1] if points.size else cfg.num_raw_features
-        out = np.full((m, n_feat), 1e6, dtype=np.float32)
-        n = min(len(points), m)
-        out[:n] = points[:n]
+        f_expect = cfg.num_raw_features + (1 if cfg.num_sweeps > 1 else 0)
+        points = np.asarray(points, dtype=np.float32).reshape(-1, points.shape[-1] if points.size else f_expect)
+        if points.shape[1] < f_expect:
+            raise ValueError(
+                f"points have {points.shape[1]} feature columns; config "
+                f"needs {f_expect} (x, y, z, intensity"
+                f"{', dt' if cfg.num_sweeps > 1 else ''})")
+        out = np.full((cfg.max_points, f_expect), 1e6, dtype=np.float32)
+        n = min(len(points), cfg.max_points)
+        out[:n] = points[:n, :f_expect]
         return out, np.int32(n)
 
     def predict_raw(self, points: np.ndarray) -> Detections:
