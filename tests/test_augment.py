@@ -1,0 +1,71 @@
+"""Augmentation invariants: points that were inside a GT box stay inside the
+transformed box, feature columns pass through, yaw stays wrapped."""
+
+import numpy as np
+
+from tpu_pillars.config import tiny_config
+from tpu_pillars.data.augment import AugmentConfig, augment_scene
+from tpu_pillars.data.synthetic import make_scene
+from tpu_pillars.geometry.boxes import box_corners_bev
+
+CFG = tiny_config()
+
+
+def _points_in_box_mask(points, box):
+    """BEV membership with a small tolerance + z extent check."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    cx, cy, cz, w, l, h, yaw = box
+    dx, dy = x - cx, y - cy
+    lx = dx * np.cos(-yaw) - dy * np.sin(-yaw)
+    ly = dx * np.sin(-yaw) + dy * np.cos(-yaw)
+    return (
+        (np.abs(lx) <= l / 2 + 1e-4) & (np.abs(ly) <= w / 2 + 1e-4)
+        & (np.abs(z - cz) <= h / 2 + 1e-4)
+    )
+
+
+def test_membership_preserved(rng):
+    scene = make_scene(rng, CFG, num_objects=6, points_per_object=150,
+                       clutter=500)
+    before = [
+        _points_in_box_mask(scene.points, b).sum() for b in scene.gt_boxes
+    ]
+    pts, boxes = augment_scene(rng, scene.points, scene.gt_boxes)
+    after = [_points_in_box_mask(pts, b).sum() for b in boxes]
+    # rigid+scale transforms preserve membership (up to f32 boundary noise)
+    for nb, na in zip(before, after):
+        assert abs(int(nb) - int(na)) <= 2
+
+
+def test_feature_columns_untouched(rng):
+    scene = make_scene(rng, CFG, num_objects=3, clutter=200)
+    pts, _ = augment_scene(rng, scene.points, scene.gt_boxes)
+    np.testing.assert_array_equal(pts[:, 3], scene.points[:, 3])
+
+
+def test_yaw_wrapped_and_shapes(rng):
+    scene = make_scene(rng, CFG, num_objects=5, clutter=100)
+    cfg = AugmentConfig(rotation_range=np.pi)  # stress the wrap
+    pts, boxes = augment_scene(rng, scene.points, scene.gt_boxes, cfg)
+    assert pts.shape == scene.points.shape
+    assert boxes.shape == scene.gt_boxes.shape
+    assert np.all(boxes[:, 6] >= -np.pi) and np.all(boxes[:, 6] < np.pi)
+    # inputs untouched (copies)
+    assert not np.shares_memory(pts, scene.points)
+
+
+def test_flip_only_mirrors(rng):
+    scene = make_scene(rng, CFG, num_objects=4, clutter=100)
+    cfg = AugmentConfig(flip_y_prob=1.0, rotation_range=0.0,
+                        scale_range=(1.0, 1.0), translate_std=0.0)
+    pts, boxes = augment_scene(rng, scene.points, scene.gt_boxes, cfg)
+    np.testing.assert_allclose(pts[:, 1], -scene.points[:, 1])
+    np.testing.assert_allclose(boxes[:, 1], -scene.gt_boxes[:, 1])
+    # mirrored corners must equal corners of the mirrored box (set-wise)
+    orig = box_corners_bev(scene.gt_boxes)      # (G, 4, 2)
+    flipped = box_corners_bev(boxes)
+    mirrored = orig * np.array([1.0, -1.0])
+    for g in range(len(boxes)):
+        got = set(map(tuple, np.round(flipped[g], 4)))
+        want = set(map(tuple, np.round(mirrored[g], 4)))
+        assert got == want

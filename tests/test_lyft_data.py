@@ -80,6 +80,24 @@ def test_multi_sweep_accumulation(dataset):
     assert np.median(d) < 0.1
 
 
+def test_load_sweeps_padded_matches_python_path(dataset):
+    """Native fused load (crop during read) == python load_sweeps + crop."""
+    cfg = CFG.replace(num_sweeps=2, max_points=16384)
+    tok = dataset.sample_tokens()[1]
+
+    padded, n = dataset.load_sweeps_padded(tok, cfg)
+    assert padded.shape == (cfg.max_points, 5)  # x,y,z,i,dt
+
+    cloud = dataset.load_sweeps(tok, num_sweeps=2)        # (N, 6) with ring
+    ref = np.concatenate([cloud[:, :4], cloud[:, 5:6]], axis=1)
+    m = ((ref[:, 0] >= cfg.x_min) & (ref[:, 0] < cfg.x_max)
+         & (ref[:, 1] >= cfg.y_min) & (ref[:, 1] < cfg.y_max)
+         & (ref[:, 2] >= cfg.z_min) & (ref[:, 2] <= cfg.z_max))
+    ref = ref[m]
+    assert int(n) == len(ref)
+    np.testing.assert_allclose(padded[: int(n)], ref, atol=1e-4)
+
+
 def test_submission_roundtrip(tmp_path):
     boxes = [
         Box3D(center=[1, 2, 3], wlh=[1.9, 4.7, 1.7], yaw=0.5,

@@ -23,13 +23,22 @@ from tpu_pillars.utils.logging import JsonlLogger
 
 
 def synthetic_batches(config: PillarsConfig, tcfg: TrainConfig, seed: int = 0,
+                      augment: bool = False,
                       **scene_kw) -> Iterable[TrainBatch]:
     """Endless stream of synthetic-scene batches (SURVEY.md section 4:
     synthetic scenes are the data story absent the real dataset)."""
+    from tpu_pillars.data.augment import augment_scene
+
     rng = np.random.default_rng(seed)
     while True:
-        scenes = [make_scene(rng, config, **scene_kw)
-                  for _ in range(tcfg.batch_size)]
+        scenes = []
+        for _ in range(tcfg.batch_size):
+            scene = make_scene(rng, config, **scene_kw)
+            if augment:
+                pts, boxes = augment_scene(rng, scene.points, scene.gt_boxes)
+                scene = scene.__class__(pts, boxes, scene.gt_classes,
+                                        scene.boxes)
+            scenes.append(scene)
         yield TrainBatch(*scenes_to_train_batch(scenes, config,
                                                 tcfg.max_gt_boxes))
 
