@@ -172,3 +172,51 @@ def test_assigner_no_gt_all_negative():
     assert not (np.asarray(t.cls_onehot) > 0).any()
     # everything is a clean negative: cls_weights all 1
     np.testing.assert_allclose(np.asarray(t.cls_weights), 1.0)
+
+
+def test_classwise_assigner_matches_dense(rng):
+    """Class-blocked assigner == dense assign_targets (bit-identical when no
+    class exceeds its per-class GT capacity)."""
+    import jax.numpy as jnp
+    from tpu_pillars.data.synthetic import make_scene
+    from tpu_pillars.ops.target_assigner import make_classwise_assigner
+
+    cfg = CFG
+    anchors, anchor_cls = make_anchors(cfg)
+    scene = make_scene(rng, cfg, num_objects=10, clutter=100)
+    G = 16
+    gb, gc, gv = _pad_gt(scene.gt_boxes[:G], scene.gt_classes[:G], G=G)
+
+    dense = assign_targets(jnp.asarray(anchors), jnp.asarray(anchor_cls),
+                           gb, gc, gv, cfg, iou_chunk=4096)
+    cw = make_classwise_assigner(cfg, max_gt_per_class=8, iou_chunk=4096)(
+        gb, gc, gv)
+
+    np.testing.assert_array_equal(np.asarray(cw.reg_weights),
+                                  np.asarray(dense.reg_weights))
+    np.testing.assert_array_equal(np.asarray(cw.cls_weights),
+                                  np.asarray(dense.cls_weights))
+    np.testing.assert_array_equal(np.asarray(cw.cls_onehot),
+                                  np.asarray(dense.cls_onehot))
+    np.testing.assert_array_equal(np.asarray(cw.dir_targets),
+                                  np.asarray(dense.dir_targets))
+    np.testing.assert_allclose(np.asarray(cw.reg_targets),
+                               np.asarray(dense.reg_targets), atol=1e-6)
+    assert float(cw.num_pos) == float(dense.num_pos)
+
+
+def test_assigner_no_gt_reg_targets_finite():
+    """Regression: padded zero GT used to inject log(0) NaNs into
+    reg_targets, which 0-weight multiplication cannot mask (0*nan=nan) —
+    any training sample without GT would NaN the loss."""
+    cfg = CFG
+    anchors, anchor_cls = make_anchors(cfg)
+    gb, gc, gv = _pad_gt(np.zeros((0, 7), np.float32), [])
+    t = assign_targets(jnp.asarray(anchors), jnp.asarray(anchor_cls),
+                       gb, gc, gv, cfg, iou_chunk=4096)
+    assert np.isfinite(np.asarray(t.reg_targets)).all()
+    out = detection_loss(
+        jnp.zeros((cfg.num_anchors, cfg.num_classes)),
+        jnp.zeros((cfg.num_anchors, 7)),
+        jnp.zeros((cfg.num_anchors, 2)), t, cfg)
+    assert np.isfinite(float(out.total))

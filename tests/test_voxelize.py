@@ -137,3 +137,40 @@ def test_scatter_to_bev():
     np.testing.assert_allclose(canvas[5, 7], [1, 2, 3])
     np.testing.assert_allclose(canvas[9, 9], 0.0)
     assert np.abs(canvas).sum() == 6.0
+
+
+def test_pillarize_batch_matches_single(rng):
+    """Natively-batched pillarization == per-sample pillarize, field for
+    field (same canonical semantics, one fused sort/scatter)."""
+    import jax
+    from tpu_pillars.ops.voxelize import pillarize_batch
+
+    cfg = CFG
+    B = 3
+    clouds = [_random_cloud(rng, n) for n in (2500, 10, 3900)]
+    padded, counts = zip(*[_pad(c, cfg) for c in clouds])
+    batch = pillarize_batch(jnp.asarray(np.stack(padded)),
+                            jnp.asarray(np.stack(counts)), cfg)
+    for i, c in enumerate(clouds):
+        single = pillarize(jnp.asarray(padded[i]), counts[i], cfg)
+        np.testing.assert_array_equal(np.asarray(batch.mask[i]),
+                                      np.asarray(single.mask))
+        np.testing.assert_array_equal(np.asarray(batch.coords[i]),
+                                      np.asarray(single.coords))
+        np.testing.assert_array_equal(np.asarray(batch.pillar_mask[i]),
+                                      np.asarray(single.pillar_mask))
+        np.testing.assert_allclose(np.asarray(batch.features[i]),
+                                   np.asarray(single.features), atol=1e-6)
+
+
+def test_pillarize_batch_empty_sample(rng):
+    from tpu_pillars.ops.voxelize import pillarize_batch
+
+    cfg = CFG
+    cloud = _random_cloud(rng, 1000)
+    p1, n1 = _pad(cloud, cfg)
+    p0, n0 = _pad(np.zeros((0, 4), np.float32), cfg)
+    batch = pillarize_batch(jnp.asarray(np.stack([p0, p1])),
+                            jnp.asarray(np.stack([n0, n1])), cfg)
+    assert not np.asarray(batch.pillar_mask[0]).any()
+    assert np.asarray(batch.pillar_mask[1]).any()

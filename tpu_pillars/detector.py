@@ -96,13 +96,12 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
-    from tpu_pillars.ops.voxelize import scatter_to_bev
+    from tpu_pillars.ops.voxelize import pillarize_batch, scatter_to_bev
 
     model = PointPillars(config, dtype=dtype)
-    pillarize_b = jax.vmap(lambda p, n: pillarize(p, n, config))
 
     def run_model(variables, points, num_points):
-        batch = pillarize_b(points, num_points)
+        batch = pillarize_batch(points, num_points, config)
         if use_pallas_pfn:
             B, P, N, D = batch.features.shape
             p = variables["params"]["pfn"]

@@ -156,6 +156,7 @@ def rotated_iou_bev_chunked(boxes1, boxes2, chunk: int = 4096):
     grid vs GT boxes in the target assigner). Pads N up to a multiple of
     `chunk` and maps over chunks to bound transient memory."""
     n = boxes1.shape[0]
+    chunk = max(1, min(chunk, n))   # never pad a small input to a full chunk
     n_pad = ((n + chunk - 1) // chunk) * chunk
     padded = jnp.concatenate(
         [boxes1, jnp.ones((n_pad - n, boxes1.shape[1]), boxes1.dtype)], axis=0

@@ -111,20 +111,96 @@ def pillarize(points: jnp.ndarray, num_points, config: PillarsConfig) -> PillarB
 def decorate(raw, mask, coords, config: PillarsConfig):
     """Append (xc, yc, zc) mean offsets and (xp, yp) cell-center offsets.
 
-    raw: (P, N, F); mask: (P, N); coords: (P, 2) -> (P, N, F + 5).
+    raw: (..., P, N, F); mask: (..., P, N); coords: (..., P, 2)
+    -> (..., P, N, F + 5). Works with any leading batch dims.
     """
     fmask = mask[..., None].astype(raw.dtype)
-    count = jnp.maximum(jnp.sum(fmask, axis=1), 1.0)            # (P, 1)
-    mean_xyz = jnp.sum(raw[..., :3] * fmask, axis=1) / count    # (P, 3)
-    off_mean = raw[..., :3] - mean_xyz[:, None, :]
+    count = jnp.maximum(jnp.sum(fmask, axis=-2), 1.0)           # (..., P, 1)
+    mean_xyz = jnp.sum(raw[..., :3] * fmask, axis=-2) / count   # (..., P, 3)
+    off_mean = raw[..., :3] - mean_xyz[..., None, :]
 
-    cx = config.x_min + (coords[:, 1].astype(raw.dtype) + 0.5) * config.voxel_x
-    cy = config.y_min + (coords[:, 0].astype(raw.dtype) + 0.5) * config.voxel_y
+    cx = config.x_min + (coords[..., 1].astype(raw.dtype) + 0.5) * config.voxel_x
+    cy = config.y_min + (coords[..., 0].astype(raw.dtype) + 0.5) * config.voxel_y
     off_center = jnp.stack(
-        [raw[..., 0] - cx[:, None], raw[..., 1] - cy[:, None]], axis=-1
+        [raw[..., 0] - cx[..., None], raw[..., 1] - cy[..., None]], axis=-1
     )
     out = jnp.concatenate([raw, off_mean, off_center], axis=-1)
     return out * fmask
+
+
+def pillarize_batch(points: jnp.ndarray, num_points,
+                    config: PillarsConfig) -> PillarBatch:
+    """Natively batched pillarization: (B, M, F) points -> PillarBatch with
+    a leading B dim on every field.
+
+    Semantically identical to vmap(pillarize) — same canonical ordering and
+    overflow rules per sample — but implemented as ONE stable sort of B*M
+    sample-offset pillar ids and ONE scatter (vmap lowers the per-sample
+    sort/scatter into much slower batched gather/scatter forms: 203 ms vs
+    ~50 ms for batch 4 at the full operating point on v5e).
+    """
+    P = config.max_pillars
+    N = config.max_points_per_pillar
+    W, H = config.grid_w, config.grid_h
+    B, M, F = points.shape
+    HW = H * W  # per-sample sentinel id
+
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    pt_idx = jnp.arange(M, dtype=jnp.int32)
+    alive = pt_idx[None, :] < num_points[:, None]
+
+    col = jnp.floor((x - config.x_min) / config.voxel_x).astype(jnp.int32)
+    row = jnp.floor((y - config.y_min) / config.voxel_y).astype(jnp.int32)
+    in_range = (
+        (col >= 0) & (col < W) & (row >= 0) & (row < H)
+        & (z >= config.z_min) & (z <= config.z_max)
+    )
+    valid = alive & in_range
+    pid = jnp.where(valid, row * W + col, HW)                     # (B, M)
+    gid = (jnp.arange(B, dtype=jnp.int32)[:, None] * (HW + 1) + pid).reshape(-1)
+
+    order = jnp.argsort(gid, stable=True)                         # one sort
+    s = gid[order]
+    idx = jnp.arange(B * M, dtype=jnp.int32)
+
+    new_seg = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    sample_id = s // (HW + 1)
+    pid_sorted = s % (HW + 1)
+    seg_valid = pid_sorted < HW
+    first = new_seg & seg_valid
+
+    # pillar ordinal within its own sample: global ordinal minus the count
+    # of valid pillars belonging to earlier samples
+    cf_excl = jnp.cumsum(first.astype(jnp.int32)) - first.astype(jnp.int32)
+    sample_first = jnp.concatenate(
+        [jnp.array([True]), sample_id[1:] != sample_id[:-1]])
+    base = jax.lax.cummax(jnp.where(sample_first, cf_excl, -1))
+    pord_local = (cf_excl + first.astype(jnp.int32) - 1) - base
+
+    seg_start = jax.lax.cummax(jnp.where(new_seg, idx, -1))
+    rank = idx - seg_start
+
+    keep = seg_valid & (rank < N) & (pord_local < P)
+    slot = (sample_id * P + pord_local) * N + rank
+    dest = jnp.where(keep, slot, B * P * N)
+
+    pts_sorted = points.reshape(B * M, F)[order]
+    flat = jnp.zeros((B * P * N + 1, F), points.dtype).at[dest].set(pts_sorted)
+    raw = flat[: B * P * N].reshape(B, P, N, F)
+    mflat = jnp.zeros((B * P * N + 1,), bool).at[dest].set(keep)
+    mask = mflat[: B * P * N].reshape(B, P, N)
+
+    pslot = sample_id * P + pord_local
+    pdest = jnp.where(first & (pord_local < P), pslot, B * P)
+    pid_per = jnp.zeros((B * P + 1,), jnp.int32).at[pdest].set(
+        pid_sorted.astype(jnp.int32))
+    pillar_mask = jnp.zeros((B * P + 1,), bool).at[pdest].set(True)
+    pid_per = pid_per[: B * P].reshape(B, P)
+    pillar_mask = pillar_mask[: B * P].reshape(B, P)
+    coords = jnp.stack([pid_per // W, pid_per % W], axis=-1) * pillar_mask[..., None]
+
+    features = decorate(raw, mask, coords, config)
+    return PillarBatch(features, mask, coords, pillar_mask)
 
 
 def scatter_to_bev(pillar_features, coords, pillar_mask, config: PillarsConfig):

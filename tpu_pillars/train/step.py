@@ -16,10 +16,9 @@ import optax
 
 from tpu_pillars.config import PillarsConfig
 from tpu_pillars.models.pointpillars import PointPillars
-from tpu_pillars.ops.anchors import make_anchors
 from tpu_pillars.ops.losses import LossBreakdown, detection_loss
-from tpu_pillars.ops.target_assigner import assign_targets
-from tpu_pillars.ops.voxelize import PillarBatch, pillarize
+from tpu_pillars.ops.target_assigner import make_classwise_assigner
+from tpu_pillars.ops.voxelize import PillarBatch, pillarize_batch
 from tpu_pillars.train.state import TrainState
 
 
@@ -37,20 +36,20 @@ class TrainBatch(NamedTuple):
     gt_valid: jnp.ndarray
 
 
-def make_train_step(config: PillarsConfig, iou_chunk: int = 8192):
+def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
+                    max_gt_per_class: int = 16):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
-    (state, batch): jit, or shard_map over a mesh for data parallelism."""
-    model = PointPillars(config, use_running_average=False)
-    anchors_np, anchor_cls_np = make_anchors(config)
-    anchors = jnp.asarray(anchors_np)
-    anchor_cls = jnp.asarray(anchor_cls_np)
+    (state, batch): jit, or shard_map over a mesh for data parallelism.
 
-    pillarize_b = jax.vmap(partial(pillarize, config=config))
-    assign_b = jax.vmap(
-        lambda gb, gc, gv: assign_targets(
-            anchors, anchor_cls, gb, gc, gv, config, iou_chunk=iou_chunk
-        )
-    )
+    Target assignment runs class-blocked (ops.target_assigner
+    make_classwise_assigner): sum_c A_c x G_c IoU pairs instead of the dense
+    A x G — identical targets while no class exceeds `max_gt_per_class`
+    boxes per sweep."""
+    model = PointPillars(config, use_running_average=False)
+
+    pillarize_b = partial(pillarize_batch, config=config)
+    assign_b = jax.vmap(make_classwise_assigner(
+        config, max_gt_per_class=max_gt_per_class, iou_chunk=iou_chunk))
 
     def loss_fn(params, batch_stats, pb: PillarBatch, batch: TrainBatch):
         outputs, mutated = model.apply(
@@ -93,10 +92,9 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 8192):
 def make_eval_forward(config: PillarsConfig):
     """Batched forward with frozen BN for validation loss / detection eval."""
     model = PointPillars(config, use_running_average=True)
-    pillarize_b = jax.vmap(partial(pillarize, config=config))
 
     def forward(variables, points, num_points):
-        pb = pillarize_b(points, num_points)
+        pb = pillarize_batch(points, num_points, config)
         return model.apply(variables, pb)
 
     return forward
