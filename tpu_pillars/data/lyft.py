@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from functools import cached_property
+
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -9,7 +9,7 @@ detection set out. Batched inference vmaps the same program over sweeps.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import List, Optional
 
 import jax
@@ -18,7 +18,7 @@ import numpy as np
 
 from tpu_pillars.config import PillarsConfig
 from tpu_pillars.geometry.boxes import Box3D
-from tpu_pillars.geometry.transforms import Pose, transform_points
+from tpu_pillars.geometry.transforms import Pose
 from tpu_pillars.models.pointpillars import PointPillars
 from tpu_pillars.ops.anchors import make_anchors
 from tpu_pillars.ops.postprocess import Detections, postprocess

@@ -9,7 +9,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from tpu_pillars.config import PillarsConfig
+
 from tpu_pillars.data.lyft import LyftDataset
 from tpu_pillars.detector import Detector, packed_to_boxes
 from tpu_pillars.evaluation.map_eval import EvalBox, lyft_map

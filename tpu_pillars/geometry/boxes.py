@@ -14,7 +14,7 @@ Conventions (Lyft/nuScenes devkit compatible):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import numpy as np
 

@@ -10,7 +10,7 @@ compute the identical function (eval mode / running BN stats).
 
 from __future__ import annotations
 
-import numpy as np
+
 import torch
 import torch.nn as nn
 

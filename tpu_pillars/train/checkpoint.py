@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-import jax
+
 from flax import serialization
 
 from tpu_pillars.train.state import TrainState
