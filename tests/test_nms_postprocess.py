@@ -105,3 +105,24 @@ def test_postprocess_empty_when_all_background(rng):
                       jnp.asarray(anchors), jnp.asarray(anchor_cls), cfg)
     assert not np.asarray(det.valid).any()
     np.testing.assert_allclose(np.asarray(det.boxes), 0.0)
+
+
+def test_nms_long_suppression_chain(rng):
+    """Adversarial chain: a row of boxes each overlapping only its neighbor,
+    scores descending — greedy keeps every other box. Exercises the fixpoint
+    sweep's convergence depth (one sweep per chain level)."""
+    n = 40
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = np.arange(n) * 1.2   # centers 1.2 apart
+    boxes[:, 3] = 2.0                  # w
+    boxes[:, 4] = 2.0                  # l -> neighbor IoU = 0.8/3.2 = 0.25
+    boxes[:, 5] = 1.0
+    scores = np.linspace(0.9, 0.5, n).astype(np.float32)
+
+    keep = np.asarray(rotated_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.ones(n, bool), 0.2))
+    expect = np.arange(n) % 2 == 0
+    np.testing.assert_array_equal(keep, expect)
+
+    ref = rotated_nms_np(boxes, scores, 0.2, max_out=n)
+    np.testing.assert_array_equal(np.sort(np.nonzero(keep)[0]), np.sort(ref))

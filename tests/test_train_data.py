@@ -1,0 +1,55 @@
+"""Dataset -> TrainBatch loading over the on-disk fixture, driven through a
+real train step (the reference's DataLoader tier, SURVEY.md 3.2)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_pillars.config import tiny_config
+from tpu_pillars.data.augment import AugmentConfig
+from tpu_pillars.data.fixture import build_fixture
+from tpu_pillars.data.lyft import LyftDataset
+from tpu_pillars.train import TrainConfig, create_train_state, make_train_step
+from tpu_pillars.train.data import dataset_batches, sample_to_arrays
+
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lyft_train_fixture")
+    return LyftDataset(build_fixture(str(root), CFG, num_scenes=2,
+                                     samples_per_scene=2,
+                                     sweeps_per_sample=1))
+
+
+def test_sample_to_arrays(dataset):
+    tok = dataset.sample_tokens()[0]
+    pts, gb, gc, gv = sample_to_arrays(dataset, tok, CFG, max_gt_boxes=8)
+    assert pts.shape[1] == CFG.num_raw_features
+    assert gv.sum() == len(dataset.get_boxes_lidar(tok))
+    # GT landed inside the range and with valid class ids
+    assert (gc[gv] >= 0).all() and (gc[gv] < CFG.num_classes).all()
+    assert np.abs(gb[gv][:, :2]).max() < CFG.x_max
+
+
+def test_dataset_batches_epoch(dataset):
+    batches = list(dataset_batches(dataset, CFG, batch_size=2, max_gt_boxes=8,
+                                   epochs=1, seed=1))
+    assert len(batches) == 2  # 4 samples / batch 2
+    b = batches[0]
+    assert b.points.shape == (2, CFG.max_points, 4)
+    assert (b.num_points > 0).all()
+    assert b.gt_valid.any()
+
+
+def test_train_step_on_dataset_batch(dataset):
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=10)
+    state = create_train_state(CFG, tcfg)
+    step = jax.jit(make_train_step(CFG, iou_chunk=4096))
+    it = dataset_batches(dataset, CFG, batch_size=2, max_gt_boxes=8,
+                         augment=AugmentConfig(), epochs=1)
+    state, losses = step(state, next(it))
+    assert np.isfinite(float(losses.total))
+    assert float(losses.num_pos) > 0
+    assert int(state.step) == 1

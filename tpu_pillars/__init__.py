@@ -12,7 +12,7 @@ Public API (mirrors the reference's L5 surface, SURVEY.md section 1):
     >>> boxes: list[Box3D] = det.predict(points)   # one lidar sweep -> boxes
 """
 
-from tpu_pillars.config import PillarsConfig, ClassSpec, LYFT_CLASSES
+from tpu_pillars.config import PillarsConfig, ClassSpec, LYFT_CLASSES, tiny_config
 from tpu_pillars.geometry.boxes import Box3D
 
 __version__ = "0.1.0"
@@ -21,5 +21,15 @@ __all__ = [
     "PillarsConfig",
     "ClassSpec",
     "LYFT_CLASSES",
+    "tiny_config",
     "Box3D",
+    "Detector",
 ]
+
+
+def __getattr__(name):
+    # lazy: importing tpu_pillars must not pull in jax/flax model code
+    if name == "Detector":
+        from tpu_pillars.detector import Detector
+        return Detector
+    raise AttributeError(name)

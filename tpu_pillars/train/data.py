@@ -1,0 +1,84 @@
+"""Dataset -> TrainBatch loading (the reference's DataLoader tier,
+SURVEY.md 3.2, host side): sample tokens -> padded point clouds (native
+C++ fused load when available) + class-mapped, padded GT boxes, with
+optional global augmentation. Pure host NumPy; the jitted step does the
+rest on device.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.data.augment import AugmentConfig, augment_scene
+from tpu_pillars.data.lyft import LyftDataset
+from tpu_pillars.train.step import TrainBatch
+
+
+def sample_to_arrays(dataset: LyftDataset, token: str, config: PillarsConfig,
+                     max_gt_boxes: int, use_native: Optional[bool] = None):
+    """One sample -> (points (n, F) real rows only, gt (G, 7), cls (G,),
+    valid (G,)). Unknown category names are dropped."""
+    if config.num_sweeps > 1:
+        padded, n = dataset.load_sweeps_padded(token, config,
+                                               use_native=use_native)
+        points = padded[: int(n)]
+    else:
+        sd = dataset.lidar_sample_data(token)
+        points = dataset.load_point_cloud(sd)[:, : config.num_raw_features]
+
+    name_to_id = {c.name: i for i, c in enumerate(config.classes)}
+    boxes: List[np.ndarray] = []
+    classes: List[int] = []
+    for b in dataset.get_boxes_lidar(token):
+        ci = name_to_id.get(b.label)
+        if ci is None:
+            continue
+        boxes.append(b.to_array().astype(np.float32))
+        classes.append(ci)
+
+    gb = np.zeros((max_gt_boxes, 7), np.float32)
+    gc = np.zeros((max_gt_boxes,), np.int32)
+    gv = np.zeros((max_gt_boxes,), bool)
+    g = min(len(boxes), max_gt_boxes)
+    if g:
+        gb[:g] = np.stack(boxes[:g])
+        gc[:g] = classes[:g]
+        gv[:g] = True
+    return points, gb, gc, gv
+
+
+def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
+                    batch_size: int, max_gt_boxes: int,
+                    tokens: Optional[Sequence[str]] = None,
+                    augment: Optional[AugmentConfig] = None,
+                    seed: int = 0, epochs: Optional[int] = None,
+                    use_native: Optional[bool] = None) -> Iterable[TrainBatch]:
+    """Shuffled epoch iterator of TrainBatch (drops the ragged tail batch)."""
+    rng = np.random.default_rng(seed)
+    tokens = list(tokens or dataset.sample_tokens())
+    f_expect = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(tokens))
+        for start in range(0, len(tokens) - batch_size + 1, batch_size):
+            pts_b = np.full((batch_size, config.max_points, f_expect), 1e6,
+                            np.float32)
+            npts = np.zeros((batch_size,), np.int32)
+            gb = np.zeros((batch_size, max_gt_boxes, 7), np.float32)
+            gc = np.zeros((batch_size, max_gt_boxes), np.int32)
+            gv = np.zeros((batch_size, max_gt_boxes), bool)
+            for i, j in enumerate(order[start : start + batch_size]):
+                pts, b, c, v = sample_to_arrays(
+                    dataset, tokens[j], config, max_gt_boxes,
+                    use_native=use_native)
+                if augment is not None:
+                    pts, b = augment_scene(rng, pts, b, augment)
+                n = min(len(pts), config.max_points)
+                pts_b[i, :n] = pts[:n, :f_expect]
+                npts[i] = n
+                gb[i], gc[i], gv[i] = b, c, v
+            yield TrainBatch(pts_b, npts, gb, gc, gv)
+        epoch += 1
