@@ -108,6 +108,31 @@ def main() -> None:
 
     tpu_rate = max(tpu_rate, batch_rate)
 
+    # --- p50 voxelize + NMS-stage latency (BASELINE.json metric) ---
+    from tpu_pillars.ops.voxelize import pillarize
+
+    pill = jax.jit(lambda p, n: pillarize(p, n, cfg))
+    d_pts = [jnp.asarray(p) for p, _ in padded[:6]]
+    n0 = padded[0][1]
+    o1 = det._model(det.variables, d_pts[0], n0)
+
+    def lat(fn, args_list, iters=15):
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            out = fn(args_list[i % len(args_list)])
+            np.asarray(jax.tree.leaves(out)[0].ravel()[0:1])  # true sync
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1e3)
+
+    lat(lambda d: pill(d, n0), d_pts, iters=2)  # compile
+    p50_vox = lat(lambda d: pill(d, n0), d_pts)
+    lat(lambda _: det._post(*o1), [None], iters=2)
+    p50_post = lat(lambda _: det._post(*o1), [None])
+    sys.stderr.write(f"p50 voxelize latency: {p50_vox:.1f} ms; "
+                     f"p50 decode+NMS (postprocess) latency: {p50_post:.1f} ms "
+                     f"(incl. ~1-2 RTT dispatch+sync overhead on this link)\n")
+
     # --- CPU reference baseline ---
     cpu = CPUReferenceDetector(cfg, flax_to_torch(variables, cfg))
     cpu.predict_raw(scenes[0].points)  # warm caches
