@@ -134,16 +134,19 @@ def main() -> None:
                      f"(incl. ~1-2 RTT dispatch+sync overhead on this link)\n")
 
     # --- CPU reference baseline ---
+    # use the BEST frame time: robust to transient host load, and
+    # conservative for the reported speedup ratio
     cpu = CPUReferenceDetector(cfg, flax_to_torch(variables, cfg))
     cpu.predict_raw(scenes[0].points)  # warm caches
-    t0 = time.perf_counter()
-    cpu_iters = 3
-    for i in range(cpu_iters):
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
         cpu.predict_raw(scenes[i % len(scenes)].points)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = cpu_iters / cpu_dt
-    sys.stderr.write(f"cpu reference: {cpu_rate:.3f} sweeps/s "
-                     f"({cpu_dt / cpu_iters:.2f} s/sweep)\n")
+        times.append(time.perf_counter() - t0)
+    cpu_dt = min(times)
+    cpu_rate = 1.0 / cpu_dt
+    sys.stderr.write(f"cpu reference (best of {len(times)}): "
+                     f"{cpu_rate:.3f} sweeps/s ({cpu_dt:.2f} s/sweep)\n")
 
     print(json.dumps({
         "metric": "lidar sweeps/sec/chip e2e (points->boxes)",
