@@ -59,6 +59,24 @@ def main() -> None:
     results["bf16_batch8_sweeps_per_s"] = round(rate, 2)
     sys.stderr.write(f"bf16 batch-8 serving: {rate:.2f} sweeps/s\n")
 
+    # --- f16 wire-format batch-8 serving ---
+    det_w16 = Detector(cfg, variables, wire_dtype=jnp.float16)
+    padded16 = [det_w16.pad_points(s.points) for s in scenes]
+    pts16 = np.stack([p for p, _ in padded16])
+    n16 = np.asarray([c for _, c in padded16])
+    np.asarray(det_w16.predict_packed_batch(pts16, n16))
+    t0 = time.perf_counter()
+    pending = deque()
+    for _ in range(reps):
+        pending.append(det_w16.predict_packed_batch(pts16, n16))
+        if len(pending) > 2:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    rate = reps * 8 / (time.perf_counter() - t0)
+    results["f16wire_batch8_sweeps_per_s"] = round(rate, 2)
+    sys.stderr.write(f"f16-wire batch-8 serving: {rate:.2f} sweeps/s\n")
+
     # --- full-size train step throughput (batch 4) ---
     tcfg = TrainConfig(batch_size=4, max_gt_boxes=64, total_steps=100)
     state = create_train_state(cfg, tcfg)
