@@ -4,6 +4,7 @@ the CPU reference pipeline on the same weights — the bit-for-boxes contract
 bit-for-boxes')."""
 
 import jax
+import pytest
 import numpy as np
 
 from tpu_pillars.config import tiny_config
@@ -101,3 +102,53 @@ def test_predict_applies_global_transform(rng):
         expect = lo.transformed(pose.rotation, pose.translation)
         np.testing.assert_allclose(gl.center, expect.center, atol=1e-6)
         assert gl.yaw == expect.yaw
+
+
+@pytest.mark.slow
+def test_trained_weights_bit_for_boxes(rng):
+    """The strongest fidelity statement: with TRAINED weights (separated
+    scores, real detections) the jitted TPU pipeline and the CPU reference
+    keep the same boxes in the same order with tightly matching params."""
+    from tpu_pillars.data.synthetic import scenes_to_train_batch
+    from tpu_pillars.train import TrainBatch, TrainConfig, create_train_state, make_train_step
+
+    cfg = CFG
+    tcfg = TrainConfig(learning_rate=2e-3, total_steps=120, batch_size=2,
+                       max_gt_boxes=8)
+    state = create_train_state(cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, iou_chunk=4096))
+    scenes = [make_scene(rng, cfg, num_objects=4, points_per_object=200,
+                         clutter=300, class_subset=[0, 7]) for _ in range(2)]
+    batch = TrainBatch(*scenes_to_train_batch(scenes, cfg, tcfg.max_gt_boxes))
+    for _ in range(120):
+        state, _ = step(state, batch)
+
+    # inference-mode variables after training
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    tpu_det = Detector(cfg, variables)
+    cpu_det = CPUReferenceDetector(cfg, flax_to_torch(variables, cfg))
+
+    checked = 0
+    for scene in scenes:
+        got = tpu_det.predict(scene.points)
+        ref = cpu_det.predict(scene.points)
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert g.label == r.label
+            np.testing.assert_allclose(g.score, r.score, atol=1e-3)
+            np.testing.assert_allclose(g.center, r.center, atol=1e-2)
+            np.testing.assert_allclose(g.wlh, r.wlh, atol=1e-2)
+            assert abs((g.yaw - r.yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-2
+            checked += 1
+    assert checked > 0  # the trained detector actually detects
+
+
+def test_predict_deterministic(rng):
+    cfg = CFG
+    variables = _init_variables(cfg)
+    det = Detector(cfg, variables)
+    scene = make_scene(rng, cfg, num_objects=4, clutter=500)
+    a = det.predict_raw(scene.points)
+    b = det.predict_raw(scene.points)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
