@@ -152,3 +152,30 @@ def test_predict_deterministic(rng):
     b = det.predict_raw(scene.points)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_from_checkpoint_and_stream(rng, tmp_path):
+    """Detector.from_checkpoint restores trained variables without running
+    the model; predict_stream pipelines multiple sweeps."""
+    from tpu_pillars.train import TrainConfig, create_train_state, save_checkpoint
+
+    cfg = CFG
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=10)
+    state = create_train_state(cfg, tcfg)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, state)
+
+    det = Detector.from_checkpoint(cfg, path)
+    for a, b in zip(jax.tree.leaves(det.variables["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    scenes = [make_scene(rng, cfg, num_objects=3, clutter=300)
+              for _ in range(4)]
+    streamed = list(det.predict_stream(s.points for s in scenes))
+    assert len(streamed) == 4
+    for s, boxes in zip(scenes, streamed):
+        direct = det.predict(s.points)
+        assert len(direct) == len(boxes)
+        for a, b in zip(boxes, direct):
+            np.testing.assert_array_equal(a.to_array(), b.to_array())

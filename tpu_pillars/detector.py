@@ -235,6 +235,59 @@ class Detector:
         return packed_to_boxes(packed, self.config, token=token,
                                lidar_to_global=lidar_to_global)
 
+    def predict_stream(self, clouds, depth: int = 3):
+        """Pipelined serving: yields List[Box3D] per input cloud, keeping up
+        to `depth` sweeps in flight so result download overlaps later frames'
+        upload/compute (the pattern bench.py measures)."""
+        from collections import deque
+
+        pending: "deque" = deque()
+        for points in clouds:
+            pending.append(self.predict_packed(points))
+            if len(pending) > depth:
+                yield packed_to_boxes(np.asarray(pending.popleft()),
+                                      self.config)
+        while pending:
+            yield packed_to_boxes(np.asarray(pending.popleft()), self.config)
+
+    @classmethod
+    def from_checkpoint(cls, config: PillarsConfig, path: str, **kw
+                        ) -> "Detector":
+        """Load inference variables from a train.checkpoint msgpack file.
+
+        Uses jax.eval_shape to build the variable structure — no model
+        compute or compilation happens before the first predict()."""
+        from flax import serialization
+
+        from tpu_pillars.models.pointpillars import PointPillars
+        from tpu_pillars.ops.voxelize import PillarBatch
+
+        model = PointPillars(config)
+        dummy = PillarBatch(
+            jnp.zeros((config.max_pillars, config.max_points_per_pillar,
+                       config.num_decorated_features)),
+            jnp.zeros((config.max_pillars, config.max_points_per_pillar), bool),
+            jnp.zeros((config.max_pillars, 2), jnp.int32),
+            jnp.zeros((config.max_pillars,), bool),
+        )
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), dummy))
+        template = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+        with open(path, "rb") as f:
+            data = f.read()
+        # checkpoint payload: {step, params, batch_stats, opt_state}; only
+        # the variables matter for inference — restore the raw msgpack tree
+        # and bind just those subtrees against the eval_shape template
+        raw = serialization.msgpack_restore(data)
+        variables = {
+            "params": serialization.from_state_dict(template["params"],
+                                                    raw["params"]),
+            "batch_stats": serialization.from_state_dict(
+                template["batch_stats"], raw["batch_stats"]),
+        }
+        return cls(config, variables, **kw)
+
 
 def pack_detections(det: Detections):
     """Detections -> (D, 10) f32 [x,y,z,w,l,h,yaw,score,class,valid]."""
