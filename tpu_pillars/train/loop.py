@@ -46,13 +46,29 @@ def synthetic_batches(config: PillarsConfig, tcfg: TrainConfig, seed: int = 0,
 def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
         step_fn: Optional[Callable] = None, config: PillarsConfig = None,
         logger: Optional[JsonlLogger] = None, log_every: int = 10,
-        ckpt_path: Optional[str] = None, ckpt_every: int = 500) -> TrainState:
+        ckpt_path: Optional[str] = None, ckpt_every: int = 500,
+        eval_fn: Optional[Callable] = None,
+        eval_every: int = 1000) -> TrainState:
     """Run `steps` optimizer steps. step_fn defaults to the jitted
-    single-device train step for `config`."""
+    single-device train step for `config`.
+
+    eval_fn, if given, is called as eval_fn(state) every `eval_every` steps
+    (and at the end); its returned dict is logged as an 'eval' event — e.g.
+    a closure running evaluation.pipeline.evaluate_dataset on a val split.
+    """
     if step_fn is None:
         step_fn = jax.jit(make_train_step(config))
     logger = logger or JsonlLogger(echo=False)
     t0 = time.perf_counter()
+
+    def run_eval():
+        if eval_fn is None:
+            return
+        metrics = eval_fn(state) or {}
+        logger.log("eval", step=int(state.step),
+                   **{k: float(v) for k, v in metrics.items()})
+
+    i = -1
     for i, batch in enumerate(batches):
         if i >= steps:
             break
@@ -68,8 +84,12 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
         if ckpt_path and (i + 1) % ckpt_every == 0:
             save_checkpoint(ckpt_path, state)
             logger.log("checkpoint", step=int(state.step), path=ckpt_path)
+        if eval_fn is not None and (i + 1) % eval_every == 0 and i + 1 < steps:
+            run_eval()
     if ckpt_path:
         save_checkpoint(ckpt_path, state)
+    if i >= 0:
+        run_eval()
     return state
 
 
