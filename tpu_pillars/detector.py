@@ -1,10 +1,11 @@
 """Detector — the public inference API (SURVEY.md L5: THE public API is
 ``dataset sample -> List[Box3D]`` with class/score/yaw).
 
-The whole points -> pillars -> BEV -> RPN -> decode -> NMS pipeline is ONE
-jitted XLA program per the BASELINE.json north-star: the only host<->device
-transfers per frame are the padded point cloud in and the fixed-size
-detection set out. Batched inference vmaps the same program over sweeps.
+The whole points -> pillars -> BEV -> RPN -> decode -> NMS pipeline runs on
+device per the BASELINE.json north-star: the only host<->device transfers
+per frame are the padded point cloud in and one packed (max_detections, 10)
+array out. Batched inference is natively batched (one sort, one scatter, one
+NHWC conv batch — not vmap; see ops.voxelize.pillarize_batch).
 """
 
 from __future__ import annotations
