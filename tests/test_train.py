@@ -127,3 +127,22 @@ def test_dp_train_step_matches_single_device(rng):
     # sum; Adam's rsqrt at step 1 amplifies that f32 noise to ~2e-5
     for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_optimizer_schedule_finite_for_short_runs():
+    """Regression: optax.cosine_onecycle_schedule NaNs the learning rate
+    when total_steps * warmup_frac < 1; our warmup+cosine build must stay
+    finite for every run length."""
+    from tpu_pillars.train.state import TrainConfig, make_optimizer
+    import optax
+
+    for total in (1, 2, 8, 100, 10000):
+        tcfg = TrainConfig(total_steps=total, learning_rate=1e-3)
+        tx = make_optimizer(tcfg)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        for _ in range(min(total + 2, 12)):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            for u in jax.tree.leaves(updates):
+                assert np.isfinite(np.asarray(u)).all(), total

@@ -41,12 +41,23 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam + OneCycle (the reference lineage's standard recipe) with global
-    gradient clipping and decoupled weight decay."""
-    schedule = optax.cosine_onecycle_schedule(
-        transition_steps=tcfg.total_steps,
-        peak_value=tcfg.learning_rate,
-        pct_start=tcfg.warmup_frac,
+    """Adam + one-cycle-style schedule (the reference lineage's standard
+    recipe) with global gradient clipping and decoupled weight decay.
+
+    Built as explicit linear-warmup + cosine-decay: optax's
+    cosine_onecycle_schedule emits NaN learning rates whenever
+    total_steps * warmup_frac < 1 (zero-length piecewise segment ->
+    divide-by-zero), which silently NaN'd short runs."""
+    warmup = max(1, int(round(tcfg.total_steps * tcfg.warmup_frac)))
+    decay = max(1, tcfg.total_steps - warmup)
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(tcfg.learning_rate / 25.0,
+                                  tcfg.learning_rate, warmup),
+            optax.cosine_decay_schedule(tcfg.learning_rate, decay,
+                                        alpha=1e-4),
+        ],
+        boundaries=[warmup],
     )
     return optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip_norm),
