@@ -197,7 +197,8 @@ class Detector:
         dropped; missing ones are an error."""
         cfg = self.config
         f_expect = cfg.num_raw_features + (1 if cfg.num_sweeps > 1 else 0)
-        points = np.asarray(points, dtype=np.float32).reshape(-1, points.shape[-1] if points.size else f_expect)
+        points = np.asarray(points, dtype=np.float32)
+        points = points.reshape(-1, points.shape[-1] if points.size else f_expect)
         if points.shape[1] < f_expect:
             raise ValueError(
                 f"points have {points.shape[1]} feature columns; config "
