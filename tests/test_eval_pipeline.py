@@ -56,6 +56,19 @@ def test_evaluate_dataset_runs_end_to_end(dataset, detector, tmp_path):
         assert np.all(np.abs(centers[:, 0] - 120) < 150)
         assert np.all(np.abs(centers[:, 1] - 300) < 150)
 
+    # batched path == per-token path: the same boxes, sample by sample
+    for tok in dataset.sample_tokens():
+        sd = dataset.lidar_sample_data(tok)
+        pts = dataset.load_point_cloud(sd)[:, : CFG.num_raw_features]
+        l2g = dataset.lidar_to_global(sd)
+        single = detector.predict(pts, token=tok, lidar_to_global=l2g)
+        batched = predictions[tok]
+        assert len(single) == len(batched)
+        for a, b in zip(single, batched):
+            np.testing.assert_allclose(a.center, b.center, atol=1e-5)
+            np.testing.assert_allclose(a.wlh, b.wlh, atol=1e-5)
+            assert a.label == b.label
+
     # submission writer consumes the prediction dict directly
     path = tmp_path / "submission.csv"
     write_submission(str(path), predictions)
@@ -65,3 +78,23 @@ def test_evaluate_dataset_runs_end_to_end(dataset, detector, tmp_path):
     assert len(rows) == 1 + len(predictions)
     for tok, pred_str in rows[1:]:
         assert len(parse_prediction_string(pred_str)) == len(predictions[tok])
+
+
+def test_evaluate_dataset_on_mesh_matches_single_chip(dataset, detector):
+    """BASELINE config #5 end-to-end: sharded sweeps, gathered mAP — one
+    call over the fake 8-device mesh, identical to the single-chip path."""
+    from tpu_pillars.parallel import make_mesh
+
+    mAP1, table1, preds1 = evaluate_dataset(detector, dataset, batch_size=2)
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    mAP8, table8, preds8 = evaluate_dataset(detector, dataset, mesh=mesh)
+
+    assert mAP8 == pytest.approx(mAP1, abs=1e-9)
+    assert set(preds8) == set(preds1)
+    for tok in preds1:
+        assert len(preds8[tok]) == len(preds1[tok])
+        for a, b in zip(preds1[tok], preds8[tok]):
+            np.testing.assert_allclose(a.center, b.center, atol=1e-5)
+            np.testing.assert_allclose(a.wlh, b.wlh, atol=1e-5)
+            assert a.label == b.label
+            assert a.score == pytest.approx(b.score, abs=1e-5)

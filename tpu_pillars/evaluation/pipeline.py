@@ -1,6 +1,9 @@
 """Evaluation glue (SURVEY.md 3.3): run the detector over a dataset split,
 collect predictions + GT as EvalBox lists (one common frame), compute Lyft
-mAP. Optionally data-parallel over a mesh via parallel.eval_dp.
+mAP. BASELINE config #5 end-to-end: sweeps are batched (one natively-batched
+program per batch — ONE sort, ONE conv batch), and with a `mesh` the batch
+is sharded across devices and detections ride a tiled `all_gather` back
+(parallel.eval_dp.make_dp_packed_detector); mAP is gathered on the host.
 """
 
 from __future__ import annotations
@@ -16,16 +19,33 @@ from tpu_pillars.evaluation.map_eval import EvalBox, lyft_map
 from tpu_pillars.geometry.boxes import Box3D
 
 
+def _load_points(dataset: LyftDataset, tok: str, cfg, num_sweeps: int):
+    sd = dataset.lidar_sample_data(tok)
+    if num_sweeps > 1:
+        cloud = dataset.load_sweeps(tok, num_sweeps)
+        return (np.concatenate(
+            [cloud[:, : cfg.num_raw_features], cloud[:, 5:6]], axis=1)
+            if cfg.num_sweeps > 1 else cloud[:, : cfg.num_raw_features])
+    return dataset.load_point_cloud(sd)[:, : cfg.num_raw_features]
+
+
 def evaluate_dataset(
     det: Detector, dataset: LyftDataset,
     sample_tokens: Optional[Sequence[str]] = None,
     num_sweeps: int = 1, global_frame: bool = True,
+    batch_size: int = 8, mesh=None,
 ) -> Tuple[float, Dict, Dict[str, List[Box3D]]]:
     """Predict every sample; score against the dataset's GT.
 
     Returns (mAP, per-threshold AP table, {token: predicted boxes}).
     Evaluation happens in the global frame when `global_frame` (the
     competition protocol) else in each keyframe's lidar frame.
+
+    Sweeps run through the detector in batches of `batch_size` (the last
+    batch is padded by repeating its final sweep; pad rows are discarded).
+    With `mesh` (a jax.sharding.Mesh) each batch is sharded over the mesh's
+    devices — data-parallel eval, identical detections to the single-chip
+    path. batch_size is rounded up to a multiple of the mesh size.
     """
     cfg = det.config
     tokens = list(sample_tokens or dataset.sample_tokens())
@@ -33,25 +53,37 @@ def evaluate_dataset(
     pred_boxes: List[EvalBox] = []
     predictions: Dict[str, List[Box3D]] = {}
 
-    for tok in tokens:
-        sd = dataset.lidar_sample_data(tok)
-        if num_sweeps > 1:
-            cloud = dataset.load_sweeps(tok, num_sweeps)
-            pts = np.concatenate(
-                [cloud[:, : cfg.num_raw_features], cloud[:, 5:6]], axis=1
-            ) if cfg.num_sweeps > 1 else cloud[:, : cfg.num_raw_features]
-        else:
-            pts = dataset.load_point_cloud(sd)[:, : cfg.num_raw_features]
+    if mesh is not None:
+        from tpu_pillars.parallel.eval_dp import make_dp_packed_detector
 
-        l2g = dataset.lidar_to_global(sd) if global_frame else None
-        boxes = packed_to_boxes(np.asarray(det.predict_packed(pts)), cfg,
-                                token=tok, lidar_to_global=l2g)
-        predictions[tok] = boxes
-        pred_boxes.extend(EvalBox.from_box3d(b) for b in boxes)
+        n_dev = mesh.devices.size
+        batch_size = ((max(batch_size, n_dev) + n_dev - 1) // n_dev) * n_dev
+        predict_b = make_dp_packed_detector(cfg, mesh)
+    else:
+        def predict_b(variables, pts_b, n_b):
+            return det.predict_packed_batch(pts_b, n_b)
 
-        gts = (dataset.get_boxes_global(tok) if global_frame
-               else dataset.get_boxes_lidar(tok))
-        gt_boxes.extend(EvalBox.from_box3d(g) for g in gts)
+    for start in range(0, len(tokens), batch_size):
+        chunk = tokens[start: start + batch_size]
+        padded = [det.pad_points(_load_points(dataset, t, cfg, num_sweeps))
+                  for t in chunk]
+        while len(padded) < batch_size:           # repeat-pad the last batch
+            padded.append(padded[-1])
+        pts_b = np.stack([p for p, _ in padded])
+        n_b = np.asarray([n for _, n in padded], np.int32)
+        packed_b = np.asarray(predict_b(det.variables, pts_b, n_b))
+
+        for tok, packed in zip(chunk, packed_b):
+            sd = dataset.lidar_sample_data(tok)
+            l2g = dataset.lidar_to_global(sd) if global_frame else None
+            boxes = packed_to_boxes(packed, cfg, token=tok,
+                                    lidar_to_global=l2g)
+            predictions[tok] = boxes
+            pred_boxes.extend(EvalBox.from_box3d(b) for b in boxes)
+
+            gts = (dataset.get_boxes_global(tok) if global_frame
+                   else dataset.get_boxes_lidar(tok))
+            gt_boxes.extend(EvalBox.from_box3d(g) for g in gts)
 
     mAP, table = lyft_map(gt_boxes, pred_boxes, cfg.class_names)
     return mAP, table, predictions

@@ -1,8 +1,10 @@
 from tpu_pillars.parallel.mesh import make_mesh
 from tpu_pillars.parallel.train_dp import make_dp_train_step, shard_train_batch
-from tpu_pillars.parallel.eval_dp import make_dp_detector_fn
+from tpu_pillars.parallel.eval_dp import (
+    make_dp_detector_fn, make_dp_packed_detector,
+)
 
 __all__ = [
     "make_mesh", "make_dp_train_step", "shard_train_batch",
-    "make_dp_detector_fn",
+    "make_dp_detector_fn", "make_dp_packed_detector",
 ]

@@ -21,6 +21,58 @@ from tpu_pillars.detector import build_forward_fn
 from tpu_pillars.ops.postprocess import Detections
 
 
+def make_dp_packed_detector(config: PillarsConfig, mesh: Mesh,
+                            axis_name: str = "data"):
+    """Returns f(variables, points (B, M, F), num_points (B,)) -> packed
+    detections (B, D, 10), replicated. B must divide by the mesh size.
+
+    Structured as TWO jitted shard_map programs with a device-resident
+    hand-off — the same two-executable split Detector uses on a single chip
+    (monolithic model+postprocess jit explodes compile time and inherits
+    conv-tiled layouts in the anchor gathers; see detector.build_forward_fn).
+    Stage 1 runs the natively-batched model on each device's local shard of
+    sweeps (ONE sort + ONE conv batch per device, not vmap); stage 2 decodes
+    + NMS + packs, then one tiled `all_gather` over ICI returns every
+    device's detections to all of them. This is BASELINE config #5's
+    'sharded sweeps' half; evaluation.pipeline.evaluate_dataset supplies the
+    'gathered mAP' half on the host.
+    """
+    from tpu_pillars.detector import (
+        build_model_fn_batched, build_postprocess_fn, pack_detections,
+    )
+
+    model_b = build_model_fn_batched(config)
+    post_fn = build_postprocess_fn(config)
+    post_packed_b = jax.vmap(
+        lambda c, b, d: pack_detections(post_fn(c, b, d)))
+
+    stage1 = jax.jit(shard_map(
+        model_b, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        # the Pallas PFN kernel's out_shape carries no vma annotation;
+        # outputs are plainly batch-sharded, checker can't see through it
+        check_vma=False,
+    ))
+
+    def stage2_local(cls_logits, box_deltas, dir_logits):
+        packed = post_packed_b(cls_logits, box_deltas, dir_logits)
+        return jax.lax.all_gather(packed, axis_name, axis=0, tiled=True)
+
+    stage2 = jax.jit(shard_map(
+        stage2_local, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        # output IS replicated (tiled all_gather); vma can't infer it
+        check_vma=False,
+    ))
+
+    def predict_packed_batch(variables, points, num_points):
+        return stage2(*stage1(variables, points, num_points))
+
+    return predict_packed_batch
+
+
 def make_dp_detector_fn(config: PillarsConfig, mesh: Mesh,
                         axis_name: str = "data"):
     """Returns f(variables, points (B, M, F), num_points (B,)) -> Detections
