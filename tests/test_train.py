@@ -146,3 +146,49 @@ def test_optimizer_schedule_finite_for_short_runs():
             updates, opt_state = tx.update(grads, opt_state, params)
             for u in jax.tree.leaves(updates):
                 assert np.isfinite(np.asarray(u)).all(), total
+
+
+def test_kill_and_resume_matches_straight_run(tmp_path):
+    """--resume semantics: restore the checkpoint, fast-forward the seeded
+    data stream by `step` batches — the continued loss curve is identical to
+    a never-killed run (VERDICT round 1, item 9)."""
+    import itertools
+
+    from tpu_pillars.train.loop import synthetic_batches
+
+    cfg = CFG
+    tcfg = TrainConfig(total_steps=6, batch_size=2, max_gt_boxes=8,
+                       learning_rate=1e-3)
+    step = jax.jit(make_train_step(cfg, iou_chunk=4096))
+
+    def run(state, batches, n):
+        losses = []
+        for _, batch in zip(range(n), batches):
+            state, l = step(state, batch)
+            losses.append(float(l.total))
+        return state, losses
+
+    # straight 6-step run
+    sA, lossesA = run(create_train_state(cfg, tcfg),
+                      synthetic_batches(cfg, tcfg, seed=0,
+                                        num_objects=3, clutter=200), 6)
+
+    # killed after 3 steps, checkpointed
+    sB, lossesB = run(create_train_state(cfg, tcfg),
+                      synthetic_batches(cfg, tcfg, seed=0,
+                                        num_objects=3, clutter=200), 3)
+    path = os.path.join(tmp_path, "ckpt.msgpack")
+    save_checkpoint(path, sB)
+    assert lossesB == lossesA[:3]
+
+    # resumed: restore + skip the 3 consumed batches
+    sC = restore_checkpoint(path, create_train_state(cfg, tcfg))
+    assert int(sC.step) == 3
+    resumed_stream = itertools.islice(
+        synthetic_batches(cfg, tcfg, seed=0, num_objects=3, clutter=200),
+        3, None)
+    sC, lossesC = run(sC, resumed_stream, 3)
+
+    assert lossesC == lossesA[3:], (lossesC, lossesA[3:])
+    for a, b in zip(jax.tree.leaves(sC.params), jax.tree.leaves(sA.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

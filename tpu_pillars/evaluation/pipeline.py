@@ -87,3 +87,21 @@ def evaluate_dataset(
 
     mAP, table = lyft_map(gt_boxes, pred_boxes, cfg.class_names)
     return mAP, table, predictions
+
+
+def evaluate_scenes(det: Detector, scenes, class_names=None
+                    ) -> Tuple[float, Dict]:
+    """Lidar-frame mAP over in-memory scenes (anything with .points /
+    .gt_boxes / .gt_classes, e.g. data.synthetic.SyntheticScene) — the eval
+    hook for training runs when no real dataset split is mounted."""
+    class_names = list(class_names or det.config.class_names)
+    gt: List[EvalBox] = []
+    pred: List[EvalBox] = []
+    for i, sc in enumerate(scenes):
+        tok = f"scene{i}"
+        pred.extend(EvalBox.from_box3d(b)
+                    for b in det.predict(sc.points, token=tok))
+        for b, c in zip(np.asarray(sc.gt_boxes), np.asarray(sc.gt_classes)):
+            gt.append(EvalBox(tok, class_names[int(c)],
+                              np.asarray(b, np.float64), -1.0))
+    return lyft_map(gt, pred, class_names)

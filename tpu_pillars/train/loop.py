@@ -93,7 +93,34 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
     return state
 
 
+def make_synthetic_eval_fn(config: PillarsConfig, num_scenes: int = 8,
+                           seed: int = 100_000, **scene_kw):
+    """eval_fn for `fit`: detection mAP on a fixed held-out synthetic split.
+
+    The Detector (and its jitted programs) is built once on first call and
+    reused — only `variables` are swapped per evaluation."""
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.evaluation.pipeline import evaluate_scenes
+
+    rng = np.random.default_rng(seed)
+    scenes = [make_scene(rng, config, **scene_kw) for _ in range(num_scenes)]
+    cache: list = []
+
+    def eval_fn(state: TrainState):
+        if not cache:
+            cache.append(Detector(config, state.variables))
+        det = cache[0]
+        det.variables = state.variables
+        mAP, _table = evaluate_scenes(det, scenes)
+        return {"mAP": mAP}
+
+    return eval_fn
+
+
 def main() -> None:
+    import itertools
+    import os
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
@@ -102,6 +129,15 @@ def main() -> None:
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny smoke config")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from {out}/ckpt.msgpack if it exists: "
+                        "restores params/opt_state/step and fast-forwards "
+                        "the seeded data stream so the loss curve continues "
+                        "exactly where the killed run left off")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="if > 0, log detection mAP on a held-out synthetic "
+                        "split every N steps (and at the end)")
+    p.add_argument("--eval-scenes", type=int, default=8)
     args = p.parse_args()
 
     config = PillarsConfig() if args.full_size else tiny_config()
@@ -109,13 +145,32 @@ def main() -> None:
                        batch_size=args.batch)
     state = create_train_state(config, tcfg,
                                rng_key=jax.random.PRNGKey(args.seed))
+
+    ckpt_path = f"{args.out}/ckpt.msgpack"
+    start = 0
+    if args.resume and os.path.exists(ckpt_path):
+        from tpu_pillars.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(ckpt_path, state)
+        start = int(state.step)
+
+    batches = synthetic_batches(config, tcfg, seed=args.seed)
+    if start:
+        # the stream is a pure function of (seed, config): dropping the
+        # first `start` batches replays exactly the data the killed run saw
+        batches = itertools.islice(batches, start, None)
+
+    eval_fn = (make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
+                                      seed=args.seed + 100_000)
+               if args.eval_every > 0 else None)
+
     with JsonlLogger(f"{args.out}/train.jsonl", echo=True) as logger:
         logger.log("start", steps=args.steps, batch=args.batch,
-                   backend=jax.default_backend(),
+                   resumed_at=start, backend=jax.default_backend(),
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
-        fit(state, synthetic_batches(config, tcfg, seed=args.seed),
-            steps=args.steps, config=config, logger=logger,
-            ckpt_path=f"{args.out}/ckpt.msgpack")
+        fit(state, batches, steps=max(0, args.steps - start), config=config,
+            logger=logger, ckpt_path=ckpt_path, eval_fn=eval_fn,
+            eval_every=args.eval_every or 1000)
 
 
 if __name__ == "__main__":
