@@ -67,3 +67,77 @@ def test_multisweep_native_matches_fallback(bin_file, tmp_path):
     np.testing.assert_allclose(out_n, out_p, atol=1e-5)
     kept = out_n[:n_n]
     assert set(np.unique(kept[:, 4])) == {np.float32(0.0), np.float32(0.1)}
+
+
+def test_overflow_is_counted_not_silent(bin_file):
+    """Truncation policy: in-range points beyond max_points are dropped
+    first-N and recorded in IO_TRUNCATION (round-1 VERDICT weak item 6)."""
+    from tpu_pillars.utils.truncation import IO_TRUNCATION
+
+    path, raw = bin_file
+    m = ((raw[:, 0] >= CFG.x_min) & (raw[:, 0] < CFG.x_max)
+         & (raw[:, 1] >= CFG.y_min) & (raw[:, 1] < CFG.y_max)
+         & (raw[:, 2] >= CFG.z_min) & (raw[:, 2] <= CFG.z_max))
+    in_range = int(m.sum())
+    small = tiny_config(max_points=max(8, in_range // 2))
+    assert in_range > small.max_points  # the fixture must actually overflow
+
+    for use_native in (True, False):
+        IO_TRUNCATION.reset()
+        with pytest.warns(RuntimeWarning, match="exceed the static"):
+            out, n = native_io.load_points_padded(path, small,
+                                                  use_native=use_native)
+        assert n == small.max_points
+        assert IO_TRUNCATION.last_dropped == in_range - small.max_points
+        assert IO_TRUNCATION.truncated_clouds == 1
+        # first-N policy: kept rows are exactly the first N in-range points
+        expect = raw[m][: small.max_points, : small.num_raw_features]
+        np.testing.assert_array_equal(out[:n], expect)
+
+    # multi-sweep: two copies of the sweep overflow even the 2048 budget
+    rt0 = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+    for use_native in (True, False):
+        IO_TRUNCATION.reset()
+        with pytest.warns(RuntimeWarning, match="2-sweep accumulation"):
+            out, n = native_io.load_sweeps_padded(
+                [path, path], [rt0, rt0], [0.0, 0.1], small,
+                use_native=use_native)
+        assert n == small.max_points
+        assert IO_TRUNCATION.last_dropped == 2 * in_range - small.max_points
+
+    # no-overflow clouds don't warn and don't count
+    IO_TRUNCATION.reset()
+    out, n = native_io.load_points_padded(path, CFG)
+    assert IO_TRUNCATION.last_dropped == 0
+    assert IO_TRUNCATION.truncated_clouds == 0
+
+
+def test_pad_points_overflow_counter():
+    import jax
+
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.models import PointPillars
+    from tpu_pillars.ops.voxelize import PillarBatch
+    import jax.numpy as jnp
+
+    cfg = tiny_config(max_points=64)
+    model = PointPillars(cfg)
+    dummy = PillarBatch(
+        jnp.zeros((cfg.max_pillars, cfg.max_points_per_pillar,
+                   cfg.num_decorated_features)),
+        jnp.zeros((cfg.max_pillars, cfg.max_points_per_pillar), bool),
+        jnp.zeros((cfg.max_pillars, 2), jnp.int32),
+        jnp.zeros((cfg.max_pillars,), bool),
+    )
+    det = Detector(cfg, model.init(jax.random.PRNGKey(0), dummy))
+
+    pts = np.zeros((100, 4), np.float32)
+    with pytest.warns(RuntimeWarning, match="pad_points"):
+        out, n = det.pad_points(pts)
+    assert n == 64
+    assert det.truncation.last_dropped == 36
+    assert det.truncation.dropped_points == 36
+
+    det.pad_points(pts[:10])
+    assert det.truncation.last_dropped == 0
+    assert det.truncation.clouds == 2

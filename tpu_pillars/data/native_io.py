@@ -19,6 +19,7 @@ from typing import Optional
 import numpy as np
 
 from tpu_pillars.config import PillarsConfig
+from tpu_pillars.utils.truncation import IO_TRUNCATION
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _SRC = os.path.join(_NATIVE_DIR, "pointcloud.cc")
@@ -82,15 +83,20 @@ def load_points_padded(path: str, config: PillarsConfig,
 
     The output array feeds the jitted pipeline directly (already cropped to
     the detection range, so every surviving point lands in a pillar).
+    In-range points beyond max_points are dropped first-max_points (file
+    order) and recorded in utils.truncation.IO_TRUNCATION — never silent.
     """
     n_take = config.num_raw_features
     out = np.full((config.max_points, n_take), pad_value, dtype=np.float32)
     lib = _load_library() if use_native in (None, True) else None
     if lib is not None:
-        n = lib.load_crop_pad(path.encode(), in_stride, n_take, _fptr(out),
-                              config.max_points, _fptr(_crop_array(config)))
-        if n < 0:
+        total = lib.load_crop_pad(
+            path.encode(), in_stride, n_take, _fptr(out),
+            config.max_points, _fptr(_crop_array(config)))
+        if total < 0:
             raise FileNotFoundError(path)
+        n = min(int(total), config.max_points)
+        IO_TRUNCATION.record(total, n, label=path)
         return out, np.int32(n)
     if use_native:
         raise RuntimeError("native pointcloud library unavailable")
@@ -103,6 +109,7 @@ def load_points_padded(path: str, config: PillarsConfig,
     )
     kept = pts[m][: config.max_points, :n_take]
     out[: len(kept)] = kept
+    IO_TRUNCATION.record(int(m.sum()), len(kept), label=path)
     return out, np.int32(len(kept))
 
 
@@ -114,23 +121,30 @@ def load_sweeps_padded(paths, transforms, dts, config: PillarsConfig,
     (max_points, num_raw_features + 1) padded array.
 
     transforms: list of (3, 4) float row-major arrays; dts: seconds per sweep.
+    In-range points beyond the budget (easy to hit when accumulating 10
+    sweeps) are dropped first-max_points (sweep order, then file order) and
+    recorded in utils.truncation.IO_TRUNCATION — never silent.
     """
     n_take = config.num_raw_features
     out = np.full((config.max_points, n_take + 1), pad_value, dtype=np.float32)
     crop = _crop_array(config)
     lib = _load_library() if use_native in (None, True) else None
-    total = 0
+    written = 0
+    in_range = 0
     if lib is not None:
         for path, rt, dt in zip(paths, transforms, dts):
             rt32 = np.ascontiguousarray(rt, dtype=np.float32)
             n = lib.load_transform_crop_pad(
                 path.encode(), in_stride, n_take, _fptr(rt32),
                 ctypes.c_float(float(dt)), _fptr(out), config.max_points,
-                _fptr(crop), total)
+                _fptr(crop), written)
             if n < 0:
                 raise FileNotFoundError(path)
-            total += n
-        return out, np.int32(total)
+            in_range += n
+            written = min(written + n, config.max_points)
+        IO_TRUNCATION.record(in_range, written,
+                             label=f"{len(paths)}-sweep accumulation")
+        return out, np.int32(written)
     if use_native:
         raise RuntimeError("native pointcloud library unavailable")
     for path, rt, dt in zip(paths, transforms, dts):
@@ -142,10 +156,13 @@ def load_sweeps_padded(paths, transforms, dts, config: PillarsConfig,
             & (xyz[:, 1] >= config.y_min) & (xyz[:, 1] < config.y_max)
             & (xyz[:, 2] >= config.z_min) & (xyz[:, 2] <= config.z_max)
         )
-        keep = np.nonzero(m)[0][: config.max_points - total]
+        in_range += int(m.sum())
+        keep = np.nonzero(m)[0][: config.max_points - written]
         rows = np.concatenate(
             [xyz[keep], pts[keep, 3:n_take],
              np.full((len(keep), 1), dt, np.float32)], axis=1)
-        out[total : total + len(rows)] = rows
-        total += len(rows)
-    return out, np.int32(total)
+        out[written : written + len(rows)] = rows
+        written += len(rows)
+    IO_TRUNCATION.record(in_range, written,
+                         label=f"{len(paths)}-sweep accumulation")
+    return out, np.int32(written)

@@ -147,9 +147,14 @@ class Detector:
         the per-sweep transfer (the dominant serving cost on PCIe/tunnel
         links) at ~5 cm worst-case coordinate quantization at 100 m — opt-in;
         it breaks bit-for-boxes fidelity vs the f32 reference."""
+        from tpu_pillars.utils.truncation import TruncationStats
+
         config.validate()
         self.config = config
         self.variables = variables
+        # overflow policy: pad_points keeps the FIRST max_points rows and
+        # records any drop here (and warns once) — never silent truncation
+        self.truncation = TruncationStats()
         self.wire_dtype = wire_dtype
         _wire_np = np.dtype(jnp.dtype(wire_dtype).name)
         self._wire_np = _wire_np
@@ -194,7 +199,9 @@ class Detector:
         """Pad/crop to the static (max_points, F) budget. F is pinned by the
         config: num_raw_features raw channels plus the sweep-lag channel when
         multi-sweep is on. Extra input columns (e.g. the Lyft ring index) are
-        dropped; missing ones are an error."""
+        dropped; missing ones are an error. Clouds beyond max_points keep
+        their FIRST max_points rows; the drop is counted in self.truncation
+        and warned (once per call site) — never silent."""
         cfg = self.config
         f_expect = cfg.num_raw_features + (1 if cfg.num_sweeps > 1 else 0)
         points = np.asarray(points, dtype=np.float32)
@@ -209,6 +216,7 @@ class Detector:
         out = np.full((cfg.max_points, f_expect), pad, dtype=self._wire_np)
         n = min(len(points), cfg.max_points)
         out[:n] = points[:n, :f_expect]
+        self.truncation.record(len(points), n, label="pad_points")
         return out, np.int32(n)
 
     def predict_raw(self, points: np.ndarray) -> Detections:
