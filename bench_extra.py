@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Secondary benchmarks (not the driver contract): bf16 inference serving
-and full-size training-step throughput on the current backend. Prints
-human-readable lines to stderr and a JSON summary to stdout.
+"""Secondary benchmarks (not the driver contract): bf16 inference serving,
+full-size training-step throughput (+ per-stage breakdown), a DEVICE-
+RESIDENT inference loop (inputs pre-staged, one pull at the end — chip-side
+compute without the ~30-60 MB/s tunnel masking it), and the BASELINE
+config #4 multi-sweep operating point. Prints human-readable lines to
+stderr and a JSON summary to stdout.
 """
 
 from __future__ import annotations
@@ -12,6 +15,43 @@ import time
 from collections import deque
 
 import numpy as np
+
+
+def _device_loop_rate(fn, args, batch, iters=24):
+    """Amortized device time per call of `fn(*args)`.
+
+    Methodology (each point matters on the axon tunnel):
+      * a zero-valued scalar from each output is folded into the next
+        input, so dispatches form a true dependency chain — no reordering
+        and no dead-code elimination of unused outputs;
+      * the sync is a ONE-element pull (np.asarray of a 1-float slice) —
+        pulling a full output tensor would time the ~30-60 MB/s tunnel,
+        not the chip (that mistake once produced stage times summing to 3x
+        the measured whole pipeline);
+      * two run lengths (iters and iters//3) are differenced to cancel the
+        fixed dispatch/sync overhead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a0 = args[0]
+
+    def run(k):
+        dep = jnp.zeros((1,), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            a = (a0 + dep.astype(a0.dtype) * 0,) + tuple(args[1:])
+            out = fn(*a)
+            dep = jax.tree.leaves(out)[0].ravel()[:1].astype(jnp.float32)
+        np.asarray(dep)
+        return time.perf_counter() - t0
+
+    run(1)  # compile (fn and the chain ops) + sync
+    small = max(1, iters // 3)
+    t_small = run(small)
+    t_big = run(iters)
+    per = (t_big - t_small) / (iters - small)
+    return batch / per, per
 
 
 def main() -> None:
@@ -77,6 +117,105 @@ def main() -> None:
     results["f16wire_batch8_sweeps_per_s"] = round(rate, 2)
     sys.stderr.write(f"f16-wire batch-8 serving: {rate:.2f} sweeps/s\n")
 
+    # --- device-resident inference loop (VERDICT round 1, item 7):
+    # batch-8 inputs pre-staged on device, one pull at the end — the
+    # chip-side number the tunnel otherwise hides ---
+    det = Detector(cfg, variables)
+    padded32 = [det.pad_points(s.points) for s in scenes]
+    d_pts = jax.device_put(np.stack([p for p, _ in padded32]))
+    d_n = jax.device_put(np.asarray([c for _, c in padded32]))
+
+    def infer_batch(pts, n):
+        return det._post_packed_batch(*det._model_batch(det.variables, pts, n))
+
+    rate, per = _device_loop_rate(infer_batch, (d_pts, d_n), 8)
+    results["device_loop_batch8_sweeps_per_s"] = round(rate, 2)
+    sys.stderr.write(f"device-resident batch-8 loop: {rate:.2f} sweeps/s "
+                     f"({per*1e3/8:.2f} ms/sweep on-chip)\n")
+
+    # per-stage amortized device times (no dispatch RTT in the number)
+    from functools import partial
+
+    from tpu_pillars.ops.voxelize import pillarize_batch
+
+    pill_b = jax.jit(partial(pillarize_batch, config=cfg))
+    _, per_pill = _device_loop_rate(lambda p, n: pill_b(p, n).features,
+                                    (d_pts, d_n), 8)
+    o_b = det._model_batch(det.variables, d_pts, d_n)
+    _, per_model = _device_loop_rate(
+        lambda *o: det._model_batch(det.variables, d_pts, d_n)[0], o_b, 8)
+    _, per_post = _device_loop_rate(
+        lambda *o: det._post_packed_batch(*o), o_b, 8)
+    results["stage_ms_batch8"] = {
+        "pillarize": round(per_pill * 1e3, 2),
+        "model": round(per_model * 1e3, 2),
+        "postprocess": round(per_post * 1e3, 2),
+    }
+    sys.stderr.write(
+        f"batch-8 stage times (amortized device): pillarize "
+        f"{per_pill*1e3:.1f} ms, model {per_model*1e3:.1f} ms, "
+        f"decode+NMS {per_post*1e3:.1f} ms\n")
+
+    # --- BASELINE config #4: multi-sweep accumulated clouds (VERDICT item 5)
+    import warnings
+
+    from tpu_pillars.config import multisweep_config
+
+    cfg4 = multisweep_config()
+    model4 = PointPillars(cfg4)
+    dummy4 = PillarBatch(
+        jnp.zeros((cfg4.max_pillars, cfg4.max_points_per_pillar,
+                   cfg4.num_decorated_features)),
+        jnp.zeros((cfg4.max_pillars, cfg4.max_points_per_pillar), bool),
+        jnp.zeros((cfg4.max_pillars, 2), jnp.int32),
+        jnp.zeros((cfg4.max_pillars,), bool),
+    )
+    det4 = Detector(cfg4, model4.init(jax.random.PRNGKey(0), dummy4))
+    # accumulate 10 synthetic sweeps: concat with per-sweep dt channel
+    B4 = 4
+    clouds4 = []
+    for b in range(B4):
+        sweeps = []
+        for k in range(cfg4.num_sweeps):
+            s = make_scene(rng, cfg4, num_objects=40, points_per_object=300,
+                           clutter=90000)
+            dt_col = np.full((len(s.points), 1), 0.1 * k, np.float32)
+            sweeps.append(np.concatenate([s.points, dt_col], axis=1))
+        clouds4.append(np.concatenate(sweeps, axis=0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # counted below
+        padded4 = [det4.pad_points(c) for c in clouds4]
+    sys.stderr.write(
+        f"config#4 clouds: {[len(c) for c in clouds4]} raw points, budget "
+        f"{cfg4.max_points}, dropped {det4.truncation.dropped_points} total "
+        f"({det4.truncation.truncated_clouds}/{B4} clouds truncated)\n")
+    pts4 = np.stack([p for p, _ in padded4])
+    n4 = np.asarray([c for _, c in padded4])
+    np.asarray(det4.predict_packed_batch(pts4, n4))  # compile + sync
+    t0 = time.perf_counter()
+    pending = deque()
+    for _ in range(reps):
+        pending.append(det4.predict_packed_batch(pts4, n4))
+        if len(pending) > 2:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    rate4 = reps * B4 / (time.perf_counter() - t0)
+    results["multisweep10_batch4_sweeps_per_s"] = round(rate4, 2)
+    sys.stderr.write(f"config#4 (10-sweep, 262k budget) batch-{B4} "
+                     f"host-to-host: {rate4:.2f} accumulated-clouds/s\n")
+
+    d_pts4, d_n4 = jax.device_put(pts4), jax.device_put(n4)
+
+    def infer4(pts, n):
+        return det4._post_packed_batch(
+            *det4._model_batch(det4.variables, pts, n))
+
+    rate4d, per4 = _device_loop_rate(infer4, (d_pts4, d_n4), B4, iters=12)
+    results["multisweep10_device_loop_sweeps_per_s"] = round(rate4d, 2)
+    sys.stderr.write(f"config#4 device-resident loop: {rate4d:.2f} clouds/s "
+                     f"({per4*1e3/B4:.1f} ms/cloud on-chip)\n")
+
     # --- full-size train step throughput (batch 4) ---
     tcfg = TrainConfig(batch_size=4, max_gt_boxes=64, total_steps=100)
     state = create_train_state(cfg, tcfg)
@@ -96,6 +235,29 @@ def main() -> None:
     results["train_sweeps_per_s"] = round(4 / step_s, 2)
     sys.stderr.write(f"train step (batch 4, full size): {step_s*1e3:.0f} ms "
                      f"({4/step_s:.2f} sweeps/s)\n")
+
+    # train-step stage breakdown (amortized device times): pillarize and
+    # target assignment are the two non-model costs fused into the step
+    from tpu_pillars.ops.target_assigner import make_classwise_assigner
+
+    d_tpts, d_tn = jax.device_put(pts), jax.device_put(npts)
+    _, per_tpill = _device_loop_rate(
+        lambda p, n: pill_b(p, n).features, (d_tpts, d_tn), 4, iters=12)
+    assign_b = jax.jit(jax.vmap(make_classwise_assigner(cfg)))
+    d_gb, d_gc, d_gv = map(jax.device_put, (gb, gc, gv))
+    _, per_assign = _device_loop_rate(
+        lambda b, c, v: assign_b(b, c, v).reg_targets,
+        (d_gb, d_gc, d_gv), 4, iters=12)
+    grad_ms = (step_s - per_tpill - per_assign) * 1e3
+    results["train_stage_ms_batch4"] = {
+        "pillarize": round(per_tpill * 1e3, 1),
+        "assign": round(per_assign * 1e3, 1),
+        "grad_opt_residual": round(grad_ms, 1),
+    }
+    sys.stderr.write(
+        f"train stages (batch 4): pillarize {per_tpill*1e3:.0f} ms, "
+        f"assign {per_assign*1e3:.0f} ms, fwd+bwd+opt residual "
+        f"{grad_ms:.0f} ms\n")
 
     print(json.dumps(results))
 

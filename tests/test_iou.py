@@ -1,6 +1,7 @@
 """Rotated IoU vs an independent NumPy Sutherland–Hodgman oracle
 (SURVEY.md section 4: 'rotated IoU vs brute-force polygon clipping')."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -151,3 +152,28 @@ def test_iou3d_reduces_to_bev_when_same_z(rng):
     np.testing.assert_allclose(
         np.asarray(iou_3d(b, b)), np.asarray(rotated_iou_bev(b, b)), atol=1e-4
     )
+
+
+def test_self_iou_is_one_at_far_coordinates():
+    """Regression: an edge lying exactly ON a clip plane must never be
+    classified as a crossing. XLA's fma fusion leaves layout-dependent
+    ~1e-7-relative remainders in nd = d x n for coincident edges, and the
+    per-pair re-centering of far-away boxes adds ~1e-5-relative noise — an
+    ABSOLUTE eps let t* become the ratio of two rounding remainders
+    (observed self-IoU as low as 0.17 for boxes at +-90 m). The thresholds
+    are scale-relative now."""
+    rng = np.random.default_rng(0)
+    n = 257
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = rng.uniform(-90, 90, n)
+    boxes[:, 1] = rng.uniform(-90, 90, n)
+    boxes[:, 3] = rng.uniform(0.3, 3, n)
+    boxes[:, 4] = rng.uniform(0.5, 13, n)
+    boxes[:, 5] = rng.uniform(0.4, 4, n)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    bj = jnp.asarray(boxes)
+    dense = np.asarray(rotated_iou_bev(bj, bj))
+    assert np.isfinite(dense).all()
+    np.testing.assert_allclose(np.diag(dense), 1.0, atol=1e-5)
+    # symmetric within tolerance
+    np.testing.assert_allclose(dense, dense.T, atol=2e-4)

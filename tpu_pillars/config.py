@@ -154,6 +154,17 @@ class PillarsConfig:
         assert self.pre_nms_top_k >= self.max_detections
 
 
+# BASELINE config #4 operating point: multi-sweep accumulated clouds (the
+# dt channel on, 2x point budget, larger pillar budget — stresses the
+# binning/scatter path). 10 sweeps of ~100k in-range points can exceed even
+# this budget; the loaders/pad_points then truncate first-N and COUNT it
+# (utils.truncation), which is the documented policy.
+def multisweep_config(num_sweeps: int = 10, **kw) -> PillarsConfig:
+    base = dict(num_sweeps=num_sweeps, max_points=262144, max_pillars=20000)
+    base.update(kw)
+    return PillarsConfig(**base)
+
+
 # A small config for tests: tiny grid, tiny budgets -> fast CPU compiles.
 def tiny_config(**kw) -> PillarsConfig:
     base = dict(

@@ -46,72 +46,126 @@ def corners_bev_jax(boxes):
     return jnp.stack([gx, gy], axis=-1)
 
 
-def _half_edge_integral(poly, clip):
-    """Sum over `poly`'s edges of the line integral int x dy restricted to
-    the inside of convex CCW `clip`.
+def _fmin2(p1, q1, p2, q2):
+    """min(p1/q1, p2/q2) with q > 0, division-free: compare cross products,
+    keep the winning (p, q) pair verbatim (magnitudes never compound)."""
+    take1 = p1 * q2 < p2 * q1
+    return jnp.where(take1, p1, p2), jnp.where(take1, q1, q2)
 
-    poly, clip: (..., 4, 2) -> (...,). One of the two terms of the Green's-
-    theorem decomposition in the module docstring.
+
+def _fmax2(p1, q1, p2, q2):
+    take1 = p1 * q2 > p2 * q1
+    return jnp.where(take1, p1, p2), jnp.where(take1, q1, q2)
+
+
+def _half_edge_integral(px, py, cx, cy):
+    """Sum over the `p` quad's edges of the line integral int x dy
+    restricted to the inside of the convex CCW `c` quad.
+
+    px, py, cx, cy: length-4 lists of broadcast-compatible arrays (the quad
+    corners, one array per corner) -> one array of the broadcasted pair
+    shape. One of the two terms of the Green's-theorem decomposition in the
+    module docstring.
+
+    Two TPU-shaping decisions:
+      * the 4 edges x 4 half-planes are UNROLLED in Python so every
+        intermediate carries only the pair-matrix shape — a generic
+        (..., 4poly, 4clip) formulation puts the size-4 axes minormost,
+        which the TPU tiles to (8, 128) vregs: 8-32x padding in both VPU
+        work and HBM traffic (measured 151 ms for the batch-4 assigner's
+        IoU; unrolled form is several-fold faster);
+      * the clip interval [t_lo, t_hi] is carried in HOMOGENEOUS form p/q
+        (q > 0): candidates reduce by cross-multiplied min/max and ONE
+        reciprocal per edge recovers the integral — 8 divides per box pair
+        instead of 32 (the divide is the long-latency VPU op).
     """
-    p1 = poly                                       # (..., 4, 2)
-    p2 = jnp.roll(poly, -1, axis=-2)
-    d = p2 - p1                                     # edge directions
-
+    big = jnp.float32(1e9)
     # clip half-planes: inside of CCW clip edge (a -> b) is n.p - c <= 0
     # with n = (dy_e, -dx_e), c = n.a
-    a = clip
-    e = jnp.roll(clip, -1, axis=-2) - clip          # (..., 4, 2)
-    n = jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
-    c = jnp.sum(n * a, axis=-1)                     # (..., 4)
+    nx = [cy[(k + 1) % 4] - cy[k] for k in range(4)]
+    ny = [cx[k] - cx[(k + 1) % 4] for k in range(4)]
+    cc = [nx[k] * cx[k] + ny[k] * cy[k] for k in range(4)]
 
-    # broadcast: edges of poly (axis -2) x half-planes of clip (axis -1)
-    # f(t) = f0 + t * nd  with  f0 = n.p1 - c,  nd = n.d
-    f0 = (
-        p1[..., :, None, 0] * n[..., None, :, 0]
-        + p1[..., :, None, 1] * n[..., None, :, 1]
-        - c[..., None, :]
-    )                                               # (..., 4poly, 4clip)
-    nd = (
-        d[..., :, None, 0] * n[..., None, :, 0]
-        + d[..., :, None, 1] * n[..., None, :, 1]
-    )
+    # SCALE-RELATIVE degeneracy thresholds. An absolute eps on nd/f0 is
+    # wrong twice over: products scale with box size, and XLA freely fuses
+    # a*b + c*d into fma(a, b, round(c*d)) — so the exact cancellation
+    # nd = dx*dy' - dy*dx' for an edge lying ON a clip plane leaves a
+    # layout-dependent remainder ~1e-7 relative (plus ~1e-5 relative noise
+    # from the per-pair re-centering of far-away coordinates). If that
+    # remainder beats the threshold, t* = -f0/nd is the RATIO OF TWO
+    # ROUNDING REMAINDERS — an arbitrary number that silently chops the
+    # clip interval (observed: self-IoU as low as 0.17 for boxes at ±90 m).
+    # |nd| <= rel * |d||n| (L1 norms) classifies those as parallel, and f0
+    # then decides inside/outside — the geometrically right call for
+    # near-parallel lines whose crossing is far outside the segment anyway.
+    rel = jnp.float32(3e-4)
+    nlen = [jnp.abs(nx[k]) + jnp.abs(ny[k]) for k in range(4)]
 
-    parallel = jnp.abs(nd) <= _EPS
-    t_star = -f0 / jnp.where(parallel, 1.0, nd)
-    big = jnp.asarray(1e9, poly.dtype)
-    # exiting constraints (nd > 0) cap t_hi; entering (nd < 0) raise t_lo;
-    # parallel: satisfied iff f0 <= 0, else the interval is empty
-    hi_cand = jnp.where(
-        parallel, jnp.where(f0 <= _EPS, big, -big),
-        jnp.where(nd > 0, t_star, big),
-    )
-    lo_cand = jnp.where(
-        parallel, jnp.where(f0 <= _EPS, -big, big),
-        jnp.where(nd < 0, t_star, -big),
-    )
-    t_hi = jnp.minimum(jnp.min(hi_cand, axis=-1), 1.0)   # (..., 4)
-    t_lo = jnp.maximum(jnp.max(lo_cand, axis=-1), 0.0)
-    t_hi = jnp.maximum(t_hi, t_lo)                        # empty -> zero span
+    total = None
+    for e in range(4):
+        x1, y1 = px[e], py[e]
+        dx = px[(e + 1) % 4] - x1
+        dy = py[(e + 1) % 4] - y1
+        dlen = jnp.abs(dx) + jnp.abs(dy)
+        plen = jnp.abs(x1) + jnp.abs(y1)
+        one = jnp.ones_like(x1)
+        ph, qh = one, one                     # t_hi starts at the cap 1
+        pl, ql = jnp.zeros_like(x1), one      # t_lo starts at the floor 0
+        for k in range(4):
+            # f(t) = f0 + t * nd along edge e vs half-plane k
+            f0 = x1 * nx[k] + y1 * ny[k] - cc[k]
+            nd = dx * nx[k] + dy * ny[k]
+            parallel = jnp.abs(nd) <= rel * (dlen * nlen[k]) + _EPS
+            violated = parallel & (
+                f0 > rel * (plen * nlen[k] + jnp.abs(cc[k])) + _EPS)
+            exiting = ~parallel & (nd > 0)      # caps t_hi at -f0/nd
+            entering = ~parallel & (nd < 0)     # raises t_lo to -f0/nd
+            hp = jnp.where(exiting, -f0, jnp.where(violated, -big, big))
+            hq = jnp.where(exiting, nd, one)
+            lp = jnp.where(entering, f0, jnp.where(violated, big, -big))
+            lq = jnp.where(entering, -nd, one)
+            ph, qh = _fmin2(ph, qh, hp, hq)
+            pl, ql = _fmax2(pl, ql, lp, lq)
 
-    # int_{t_lo}^{t_hi} x(t) y'(t) dt,  x(t) = x1 + t dx,  y' = dy
-    span = t_hi - t_lo
-    sq = 0.5 * (t_hi * t_hi - t_lo * t_lo)
-    contrib = d[..., 1] * (p1[..., 0] * span + d[..., 0] * sq)
-    return jnp.sum(contrib, axis=-1)
+        # int_{t_lo}^{t_hi} x(t) y'(t) dt,  x(t) = x1 + t dx,  y' = dy
+        #   span = t_hi - t_lo            = cross / (qh ql)
+        #   sq   = (t_hi^2 - t_lo^2) / 2  = cross * mixed / (2 qh^2 ql^2)
+        # with cross = ph ql - pl qh, mixed = ph ql + pl qh. After the
+        # clamps 0 <= t <= 1, all products stay at box scale.
+        cross = ph * ql - pl * qh
+        mixed = ph * ql + pl * qh
+        inv = 1.0 / (qh * ql)                 # the ONE divide per edge
+        contrib = dy * cross * inv * (x1 + 0.5 * dx * mixed * inv)
+        contrib = jnp.where(cross > 0, contrib, 0.0)  # empty interval -> 0
+        total = contrib if total is None else total + contrib
+    return total
 
 
 def convex_quad_intersect_area(qa, qb):
-    """Intersection area of CCW quads qa, qb: (..., 4, 2) -> (...,).
+    """Intersection area of CCW quads qa, qb: (..., 4, 2) -> (...,), with
+    NumPy broadcasting over the leading dims (pass (N, 1, 4, 2) against
+    (1, M, 4, 2) for a pair matrix — intermediates are built lazily at the
+    broadcasted shape, never materialized per-corner).
 
     Coordinates are re-centered per pair before integrating: the boundary
     integral is translation-invariant in exact math, but f32 cancellation in
     the half-plane offsets scales with |coordinate|, so working at box scale
     keeps far-apart pairs from leaking phantom area.
     """
-    mid = 0.5 * (jnp.mean(qa, axis=-2) + jnp.mean(qb, axis=-2))
-    qa = qa - mid[..., None, :]
-    qb = qb - mid[..., None, :]
-    area = _half_edge_integral(qa, qb) + _half_edge_integral(qb, qa)
+    ax = [qa[..., e, 0] for e in range(4)]
+    ay = [qa[..., e, 1] for e in range(4)]
+    bx = [qb[..., e, 0] for e in range(4)]
+    by = [qb[..., e, 1] for e in range(4)]
+    midx = 0.125 * (ax[0] + ax[1] + ax[2] + ax[3]
+                    + bx[0] + bx[1] + bx[2] + bx[3])
+    midy = 0.125 * (ay[0] + ay[1] + ay[2] + ay[3]
+                    + by[0] + by[1] + by[2] + by[3])
+    ax = [x - midx for x in ax]
+    ay = [y - midy for y in ay]
+    bx = [x - midx for x in bx]
+    by = [y - midy for y in by]
+    area = (_half_edge_integral(ax, ay, bx, by)
+            + _half_edge_integral(bx, by, ax, ay))
     return jnp.maximum(area, 0.0)
 
 
@@ -119,15 +173,13 @@ def convex_quad_intersect_area(qa, qb):
 def rotated_iou_bev(boxes1, boxes2):
     """Pairwise rotated BEV IoU. boxes1 (N, 7), boxes2 (M, 7) -> (N, M).
 
-    Materializes the full N x M candidate buffer (~200 B/pair); for large N
-    use :func:`rotated_iou_bev_chunked`.
+    The pair matrix is laid out (N, M) with M on the TPU lane axis — make
+    the LARGER side boxes2 (or use :func:`rotated_iou_bev_chunked`, which
+    orients and bounds memory for huge N).
     """
     c1 = corners_bev_jax(boxes1)[:, None]           # (N, 1, 4, 2)
     c2 = corners_bev_jax(boxes2)[None, :]           # (1, M, 4, 2)
-    n, m = boxes1.shape[0], boxes2.shape[0]
-    inter = convex_quad_intersect_area(
-        jnp.broadcast_to(c1, (n, m, 4, 2)), jnp.broadcast_to(c2, (n, m, 4, 2))
-    )
+    inter = convex_quad_intersect_area(c1, c2)      # broadcasts to (N, M)
     a1 = (boxes1[:, 3] * boxes1[:, 4])[:, None]
     a2 = (boxes2[:, 3] * boxes2[:, 4])[None, :]
     # exact gate: BEV footprints cannot intersect beyond the sum of their
@@ -154,15 +206,38 @@ def _bev_disjoint(boxes1, boxes2):
 def rotated_iou_bev_chunked(boxes1, boxes2, chunk: int = 4096):
     """Row-chunked rotated BEV IoU for large boxes1 (e.g. the full anchor
     grid vs GT boxes in the target assigner). Pads N up to a multiple of
-    `chunk` and maps over chunks to bound transient memory."""
+    `chunk` and maps over chunks to bound transient memory.
+
+    Each chunk is computed in the (M, chunk) orientation — the large chunk
+    axis rides the TPU lane dimension (M is typically a handful of GT
+    boxes, which would waste 8x+ of every vreg) — then transposed into the
+    caller's (N, M) layout (a cheap small copy per chunk)."""
     n = boxes1.shape[0]
     chunk = max(1, min(chunk, n))   # never pad a small input to a full chunk
     n_pad = ((n + chunk - 1) // chunk) * chunk
     padded = jnp.concatenate(
         [boxes1, jnp.ones((n_pad - n, boxes1.shape[1]), boxes1.dtype)], axis=0
     ).reshape(n_pad // chunk, chunk, boxes1.shape[1])
-    out = jax.lax.map(lambda rows: rotated_iou_bev(rows, boxes2), padded)
+    out = jax.lax.map(lambda rows: rotated_iou_bev(boxes2, rows).T, padded)
     return out.reshape(n_pad, boxes2.shape[0])[:n]
+
+
+@partial(jax.jit, static_argnames="chunk")
+def rotated_iou_bev_colchunked(boxes1, boxes2, chunk: int = 16384):
+    """Column-chunked rotated BEV IoU: small boxes1 (N, 7) vs large boxes2
+    (M, 7) -> (N, M), M chunked. The whole pair matrix lives in the (N, M)
+    orientation — the large M axis on TPU lanes — so downstream reductions
+    over it (argmax/max per anchor in the target assigner) stay dense;
+    lax.map bounds transient memory to (N, chunk) temps."""
+    m = boxes2.shape[0]
+    chunk = max(1, min(chunk, m))
+    m_pad = ((m + chunk - 1) // chunk) * chunk
+    padded = jnp.concatenate(
+        [boxes2, jnp.ones((m_pad - m, boxes2.shape[1]), boxes2.dtype)], axis=0
+    ).reshape(m_pad // chunk, chunk, boxes2.shape[1])
+    out = jax.lax.map(lambda cols: rotated_iou_bev(boxes1, cols), padded)
+    out = jnp.moveaxis(out, 0, 1).reshape(boxes1.shape[0], m_pad)
+    return out[:, :m]
 
 
 @jax.jit
@@ -171,10 +246,7 @@ def iou_3d(boxes1, boxes2):
     union. Used by the Lyft mAP evaluation protocol (SURVEY.md 3.3)."""
     c1 = corners_bev_jax(boxes1)[:, None]
     c2 = corners_bev_jax(boxes2)[None, :]
-    n, m = boxes1.shape[0], boxes2.shape[0]
-    inter_bev = convex_quad_intersect_area(
-        jnp.broadcast_to(c1, (n, m, 4, 2)), jnp.broadcast_to(c2, (n, m, 4, 2))
-    )
+    inter_bev = convex_quad_intersect_area(c1, c2)   # broadcasts to (N, M)
     z1_lo = boxes1[:, 2] - boxes1[:, 5] / 2
     z1_hi = boxes1[:, 2] + boxes1[:, 5] / 2
     z2_lo = boxes2[:, 2] - boxes2[:, 5] / 2
