@@ -23,7 +23,6 @@ from tpu_pillars.geometry.transforms import Pose
 from tpu_pillars.models.pointpillars import PointPillars
 from tpu_pillars.ops.anchors import make_anchors
 from tpu_pillars.ops.postprocess import Detections, postprocess
-from tpu_pillars.ops.voxelize import pillarize
 
 
 def build_forward_fn(config: PillarsConfig, dtype=jnp.float32):
@@ -61,13 +60,14 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
     kernel in interpret mode, so fidelity tests cover it everywhere.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.emit_pallas import pillarize_auto
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
     from tpu_pillars.ops.voxelize import scatter_to_bev
 
     model = PointPillars(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
-        batch = pillarize(points, num_points, config)
+        batch = pillarize_auto(points, num_points, config)
         if use_pallas_pfn:
             p = variables["params"]["pfn"]
             bs = variables["batch_stats"]["pfn"]["bn"]
@@ -96,13 +96,14 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     (B*P, N, D) for ONE kernel launch, and the convs run as one NHWC batch.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
-    from tpu_pillars.ops.voxelize import pillarize_batch, scatter_to_bev
+    from tpu_pillars.ops.voxelize import scatter_to_bev
 
     model = PointPillars(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
-        batch = pillarize_batch(points, num_points, config)
+        batch = pillarize_batch_auto(points, num_points, config)
         if use_pallas_pfn:
             B, P, N, D = batch.features.shape
             p = variables["params"]["pfn"]

@@ -16,9 +16,10 @@ import optax
 
 from tpu_pillars.config import PillarsConfig
 from tpu_pillars.models.pointpillars import PointPillars
+from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
 from tpu_pillars.ops.losses import LossBreakdown, detection_loss
 from tpu_pillars.ops.target_assigner import make_classwise_assigner
-from tpu_pillars.ops.voxelize import PillarBatch, pillarize_batch
+from tpu_pillars.ops.voxelize import PillarBatch
 from tpu_pillars.train.state import TrainState
 
 
@@ -47,7 +48,7 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     boxes per sweep."""
     model = PointPillars(config, use_running_average=False)
 
-    pillarize_b = partial(pillarize_batch, config=config)
+    pillarize_b = partial(pillarize_batch_auto, config=config)
     assign_b = jax.vmap(make_classwise_assigner(
         config, max_gt_per_class=max_gt_per_class, iou_chunk=iou_chunk))
 
@@ -94,7 +95,7 @@ def make_eval_forward(config: PillarsConfig):
     model = PointPillars(config, use_running_average=True)
 
     def forward(variables, points, num_points):
-        pb = pillarize_batch(points, num_points, config)
+        pb = pillarize_batch_auto(points, num_points, config)
         return model.apply(variables, pb)
 
     return forward
