@@ -136,9 +136,9 @@ def main() -> None:
     # per-stage amortized device times (no dispatch RTT in the number)
     from functools import partial
 
-    from tpu_pillars.ops.voxelize import pillarize_batch
+    from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
 
-    pill_b = jax.jit(partial(pillarize_batch, config=cfg))
+    pill_b = jax.jit(partial(pillarize_batch_auto, config=cfg))
     _, per_pill = _device_loop_rate(lambda p, n: pill_b(p, n).features,
                                     (d_pts, d_n), 8)
     o_b = det._model_batch(det.variables, d_pts, d_n)

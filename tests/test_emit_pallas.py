@@ -84,3 +84,21 @@ def test_emit_low_occupancy_window_drain(rng):
     want = pillarize_batch(pts, ns, CFG)
     assert int(np.asarray(got.pillar_mask).sum()) == 2
     _assert_equal(got, want)
+
+
+def test_emit_multisweep_five_features(rng):
+    # num_sweeps > 1 adds the dt channel: F=5, lane dim 160 -> padded 256
+    cfg = tiny_config(num_sweeps=2)
+    n = 3000
+    pts = np.zeros((n, 5), dtype=np.float32)
+    pts[:, 0] = rng.uniform(cfg.x_min - 2, cfg.x_max + 2, n)
+    pts[:, 1] = rng.uniform(cfg.y_min - 2, cfg.y_max + 2, n)
+    pts[:, 2] = rng.uniform(cfg.z_min, cfg.z_max, n)
+    pts[:, 3] = rng.uniform(0, 255, n)
+    pts[:, 4] = rng.choice([0.0, 0.1], n)
+    out = np.full((1, cfg.max_points, 5), 1e6, np.float32)
+    out[0, :n] = pts
+    pj = jnp.asarray(out)
+    ns = jnp.asarray([n], jnp.int32)
+    _assert_equal(pillarize_batch_emit(pj, ns, cfg),
+                  pillarize_batch(pj, ns, cfg))

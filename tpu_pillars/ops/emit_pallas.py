@@ -50,9 +50,10 @@ _K = 1024         # points per chunk (XLA tiles 1-D arrays at 1024 elements,
                   # so smaller chunk blocks fail Mosaic layout verification)
 _WHALF = 1024     # rows per flush quantum; WROWS = 2 * _WHALF (>= _K + 1
                   # rows can open per chunk, so halves stay flushable)
-_WBLK = 512       # window-row block for the one-hot matmuls: the full
-                  # (K, WROWS) one-hot would cost 8 MB of VMEM; 4 blocked
-                  # matmuls keep the live set ~2 MB
+_WBLK = 256       # window-row block for the one-hot matmuls: the full
+                  # (K, WROWS) one-hot would cost 8 MB of VMEM; blocked
+                  # matmuls keep the live set small (multisweep lanes=256
+                  # ran out of scoped VMEM at block 512)
 _META = 8         # metadata ROWS (count, pillar_id, 6 spare): the meta
                   # window is (8, WROWS) — pillars ride the lane axis, so
                   # its matmul is a skinny (8, K) @ (K, WBLK) at ~1/64 the
@@ -157,15 +158,26 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
     off = ordinal % wrows
     keep = valid & (ordinal < p_budget)
 
+    # split the raw payload into exact bf16 parts FIRST, then lane-expand
+    # each part: the (K, lanes) f32 expansion and its split residuals never
+    # exist, which keeps multisweep configs (lanes=256) inside scoped VMEM.
+    # Selects run in f32 with the i32-compare mask (the v5e VPU has neither
+    # 16-bit iota nor 16-bit compares, and an i32 mask cannot relayout into
+    # a bf16 select) — but only ONE part's f32 expansion is live at a time
+    # before casting down to bf16, which is what keeps multisweep configs
+    # (lanes=256) inside scoped VMEM.
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 1)
     target = rank * n_f
-    y = jnp.zeros((k, lanes), jnp.float32)
-    for f in range(n_f):
-        y = y + jnp.where(lane_iota == target + f, pts_ref[:, f:f + 1], 0.0)
+    y_parts = []
+    for part in _split3(pts_ref[:]):
+        yp = jnp.zeros((k, lanes), jnp.float32)
+        for f in range(n_f):
+            yp = yp + jnp.where(lane_iota == target + f,
+                                part[:, f:f + 1].astype(jnp.float32), 0.0)
+        y_parts.append(yp.astype(jnp.bfloat16))
 
     kept_cnt = (rank < n_pts).astype(jnp.bfloat16)            # (K, 1) exact
     pid_first = first.astype(jnp.float32) * g.astype(jnp.float32)
-    y_parts = _split3(y)
     pid_parts = _split3(pid_first)
 
     # one-hot expand into the ring window, blocked over window rows: each
