@@ -1,0 +1,190 @@
+"""Pallas BEV canvas builder: dense block gather instead of an XLA scatter.
+
+scatter_to_bev (ops/voxelize.py) is a 96k-row XLA scatter at batch 8 and
+costs 14.7 ms on v5e (~45 cycles per index — the same pathology the
+window-emit pillarizer removed from the table build). This kernel replaces
+it with a DENSE formulation that exploits the pillar table's ordering
+guarantee: the emit/sort pillarizers produce pillars in ascending
+pillar-id order, so the pillars landing in any contiguous block of canvas
+cells form one contiguous range of pillar-table rows.
+
+  * the canvas is viewed as (HW/cpr, cpr*C) with cpr = 128//C cells packed
+    per 128-lane row — the same bytes as (H, W, C) row-major, so the final
+    reshape is free;
+  * grid = (B, HW/cpr/R) output blocks of R rows; a broadcast-compare
+    count (lo[b, j] = #pillars with id below the block start — NOT
+    jnp.searchsorted, whose scan lowering cost 7.5 ms) gives each block
+    its pillar range [lo, hi), scalar-prefetched so the BlockSpec index
+    maps can stage exactly the right slab;
+  * each step stages TWO consecutive KMAX-row slabs of the pillar table
+    (block index lo//KMAX and the next — [lo, hi) always fits because
+    hi - lo <= cells-per-block = KMAX), builds the one-hot of each
+    pillar's block row, and expands with three bf16 matmuls (exact
+    hi/mid/lo mantissa split, one pillar per cell -> bit-identical f32);
+  * empty cells fall out as zeros of the matmul — no zero-init pass, no
+    ring buffer, no DMA bookkeeping, no data-dependent loops (an earlier
+    ring-window variant with dynamic flush loops hung the chip): every
+    canvas block is written exactly once by its own grid step.
+
+Status: bit-exact vs the XLA scatter on v5e but only ties it (14.3 vs
+14.6 ms at batch 8) before the prep fix — kept NON-DEFAULT until a
+measured win lands; `scatter_to_bev_auto` currently routes to the XLA
+scatter everywhere.
+
+Requires C | 128 and an R (multiple of 8, dividing HW/cpr) — both hold for
+every shipped config; callers fall back to the XLA scatter otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pillars.config import PillarsConfig
+
+
+def _pick_rows(hwr: int) -> int:
+    """Largest multiple of 8 that divides hwr, capped at 512 (block-size
+    sweet spot: grid-step overhead vs quadratic one-hot cost)."""
+    best = 0
+    for r in range(8, 513, 8):
+        if hwr % r == 0:
+            best = r
+    return best
+
+
+def _bev_kernel(lo_ref, featsA, featsB, pidA, pidB, out_ref, *, c: int,
+                cpr: int, r_rows: int, kmax: int, nblocks: int, p_tot: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    k2 = 2 * kmax
+
+    lo = lo_ref[b * (nblocks + 1) + j]
+    hi = lo_ref[b * (nblocks + 1) + j + 1]
+    base = ((b * p_tot + lo) // kmax) * kmax          # global staged row 0
+
+    feats = jnp.concatenate([featsA[:], featsB[:]], axis=0)   # (2K, C) f32
+    pid = jnp.concatenate([pidA[:, 0:1], pidB[:, 0:1]], axis=0)  # (2K, 1)
+
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (k2, 1), 0)
+    valid = (idx >= b * p_tot + lo) & (idx < b * p_tot + hi)
+
+    cell = pid.astype(jnp.int32) - j * (r_rows * cpr)  # cell offset in block
+    row = cell // cpr                                   # target block row
+    lane_g = cell - row * cpr                           # cell slot in row
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (k2, r_rows), 1)
+    one_hot = ((row == row_iota) & valid).astype(jnp.bfloat16)
+
+    # exact 3-way bf16 mantissa split of the features (see emit_pallas)
+    hi_p = feats.astype(jnp.bfloat16)
+    r1 = feats - hi_p.astype(jnp.float32)
+    mid_p = r1.astype(jnp.bfloat16)
+    lo_p = (r1 - mid_p.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    acc = jnp.zeros((r_rows, cpr * c), jnp.float32)
+    contract0 = (((0,), (0,)), ((), ()))
+    for part in (hi_p, mid_p, lo_p):
+        # place each pillar's C lanes at its cell's slot within the row
+        pieces = []
+        for g in range(cpr):
+            m_g = (lane_g == g).astype(jnp.bfloat16)    # (2K, 1)
+            pieces.append(part * m_g)
+        y = jnp.concatenate(pieces, axis=1)             # (2K, cpr*C)
+        acc = acc + jax.lax.dot_general(
+            one_hot, y, contract0, preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def scatter_to_bev_emit(pillar_features, pid_per, pillar_mask,
+                        config: PillarsConfig, interpret: bool | None = None):
+    """(B, P, C) pillar features + (B, P) ascending pillar ids (+ validity)
+    -> (B, H, W, C) canvas. Bit-identical to scatter_to_bev given the pillar
+    table's ascending-id ordering."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = config.grid_h, config.grid_w
+    B, P, C = pillar_features.shape
+    HW = H * W
+    cpr = 128 // C
+    hwr = HW // cpr
+    r_rows = _pick_rows(hwr)
+    nblocks = hwr // r_rows
+    kmax = r_rows * cpr
+
+    # sentinel ids for empty slots keep the per-sample id stream ascending;
+    # block starts via one dense comparison count (a jnp.searchsorted here
+    # measured 7.5 ms of scan lowering on v5e — this is ~20M VPU flops)
+    pid_eff = jnp.where(pillar_mask, pid_per, HW)
+    bounds = jnp.arange(nblocks + 1, dtype=jnp.int32) * kmax
+    lo = jnp.sum(pid_eff[:, :, None] < bounds[None, None, :],
+                 axis=1, dtype=jnp.int32)                       # (B, nb+1)
+
+    # pad the pillar axis so every (lo//KMAX, +1) block pair exists — 2*KMAX
+    # of slack covers blockB of the last sample's tail
+    p_pad = ((P + kmax - 1) // kmax) * kmax
+    p_tot = p_pad + 2 * kmax
+    pad_rows = p_tot - P
+    feats = jnp.concatenate(
+        [pillar_features.astype(jnp.float32),
+         jnp.zeros((B, pad_rows, C), jnp.float32)], axis=1)
+    pid_f = jnp.concatenate(
+        [pid_eff.astype(jnp.float32), jnp.zeros((B, pad_rows), jnp.float32)],
+        axis=1)
+    feats = feats.reshape(B * p_tot, C)
+    # pillar ids ride an (N, 8) f32 sidecar (2-D so Mosaic accepts the
+    # block shape; ids < 2^24 are exact in f32)
+    pid8 = jnp.broadcast_to(pid_f.reshape(B * p_tot, 1), (B * p_tot, 8))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((kmax, C),
+                         lambda b, j, lo_ref:
+                         ((b * p_tot + lo_ref[b * (nblocks + 1) + j])
+                          // kmax, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kmax, C),
+                         lambda b, j, lo_ref:
+                         ((b * p_tot + lo_ref[b * (nblocks + 1) + j])
+                          // kmax + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kmax, 8),
+                         lambda b, j, lo_ref:
+                         ((b * p_tot + lo_ref[b * (nblocks + 1) + j])
+                          // kmax, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kmax, 8),
+                         lambda b, j, lo_ref:
+                         ((b * p_tot + lo_ref[b * (nblocks + 1) + j])
+                          // kmax + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_rows, cpr * C),
+                               lambda b, j, lo_ref: (b * nblocks + j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_bev_kernel, c=C, cpr=cpr, r_rows=r_rows,
+                          kmax=kmax, nblocks=nblocks, p_tot=p_tot),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * hwr, cpr * C), jnp.float32),
+        interpret=interpret,
+    )(lo.reshape(-1), feats, feats, pid8, pid8)
+    return out.reshape(B, H, W, C)
+
+
+def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
+                        config: PillarsConfig):
+    """BEV scatter dispatcher. The Pallas block-gather has not yet beaten
+    the XLA scatter on chip (14.3 vs 14.6 ms at batch 8), so this routes to
+    the XLA path everywhere until a measured win flips it."""
+    from tpu_pillars.ops.voxelize import scatter_to_bev
+
+    return scatter_to_bev(pillar_features, coords, pillar_mask, config)
