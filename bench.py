@@ -109,9 +109,9 @@ def main() -> None:
     tpu_rate = max(tpu_rate, batch_rate)
 
     # --- p50 voxelize + NMS-stage latency (BASELINE.json metric) ---
-    from tpu_pillars.ops.voxelize import pillarize
+    from tpu_pillars.ops.emit_pallas import pillarize_auto
 
-    pill = jax.jit(lambda p, n: pillarize(p, n, cfg))
+    pill = jax.jit(lambda p, n: pillarize_auto(p, n, cfg))
     d_pts = [jnp.asarray(p) for p, _ in padded[:6]]
     n0 = padded[0][1]
     o1 = det._model(det.variables, d_pts[0], n0)

@@ -126,3 +126,21 @@ def test_nms_long_suppression_chain(rng):
 
     ref = rotated_nms_np(boxes, scores, 0.2, max_out=n)
     np.testing.assert_array_equal(np.sort(np.nonzero(keep)[0]), np.sort(ref))
+
+
+def test_postprocess_t_matches_anchor_major(rng):
+    # the feature-major twin (the detector's actual stage-2 path) must be
+    # bit-identical to the anchor-major postprocess
+    from tpu_pillars.ops.postprocess import postprocess_t
+
+    cfg = CFG
+    anchors, anchor_cls = make_anchors(cfg)
+    cls, deltas, dirs = _random_head_outputs(rng, cfg)
+    a = postprocess(jnp.asarray(cls), jnp.asarray(deltas), jnp.asarray(dirs),
+                    jnp.asarray(anchors), jnp.asarray(anchor_cls), cfg)
+    b = postprocess_t(jnp.asarray(cls.T), jnp.asarray(deltas.T),
+                      jnp.asarray(dirs.T), jnp.asarray(anchors),
+                      jnp.asarray(anchor_cls), cfg)
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
