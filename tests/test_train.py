@@ -192,3 +192,33 @@ def test_kill_and_resume_matches_straight_run(tmp_path):
     assert lossesC == lossesA[3:], (lossesC, lossesA[3:])
     for a, b in zip(jax.tree.leaves(sC.params), jax.tree.leaves(sA.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_train_step_learns(rng):
+    # mixed precision: bf16 activations, f32 params/opt/BN stats/losses —
+    # step runs, losses are f32-finite and decrease on a fixed batch
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+    from tpu_pillars.train import (TrainBatch, TrainConfig, create_train_state,
+                                   make_train_step)
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=60,
+                       compute_dtype="bfloat16")
+    state = create_train_state(cfg, tcfg)
+    step = jax.jit(make_train_step(cfg, compute_dtype=jnp.bfloat16))
+    scenes = [make_scene(rng, cfg, num_objects=4, points_per_object=120,
+                         clutter=300) for _ in range(2)]
+    batch = TrainBatch(*scenes_to_train_batch(scenes, cfg, tcfg.max_gt_boxes))
+    state, first = step(state, batch)
+    assert first.total.dtype == jnp.float32
+    for _ in range(25):
+        state, losses = step(state, batch)
+    assert jnp.isfinite(losses.total)
+    assert float(losses.total) < float(first.total)
+    # master weights stayed f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))

@@ -129,6 +129,9 @@ def main() -> None:
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny smoke config")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 activations, "
+                        "f32 params/optimizer/BN stats/losses")
     p.add_argument("--resume", action="store_true",
                    help="continue from {out}/ckpt.msgpack if it exists: "
                         "restores params/opt_state/step and fast-forwards "
@@ -142,7 +145,8 @@ def main() -> None:
 
     config = PillarsConfig() if args.full_size else tiny_config()
     tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
-                       batch_size=args.batch)
+                       batch_size=args.batch,
+                       compute_dtype="bfloat16" if args.bf16 else "float32")
     state = create_train_state(config, tcfg,
                                rng_key=jax.random.PRNGKey(args.seed))
 
@@ -168,9 +172,13 @@ def main() -> None:
         logger.log("start", steps=args.steps, batch=args.batch,
                    resumed_at=start, backend=jax.default_backend(),
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
+        import jax.numpy as jnp
+
+        step_fn = jax.jit(make_train_step(
+            config, compute_dtype=jnp.dtype(tcfg.compute_dtype)))
         fit(state, batches, steps=max(0, args.steps - start), config=config,
-            logger=logger, ckpt_path=ckpt_path, eval_fn=eval_fn,
-            eval_every=args.eval_every or 1000)
+            step_fn=step_fn, logger=logger, ckpt_path=ckpt_path,
+            eval_fn=eval_fn, eval_every=args.eval_every or 1000)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,9 @@ class TrainConfig:
     warmup_frac: float = 0.1
     max_gt_boxes: int = 64   # static GT padding per sweep
     batch_size: int = 8
+    # "float32" or "bfloat16": model-activation dtype for the train step
+    # (mixed precision; params/opt state/BN stats/losses stay float32)
+    compute_dtype: str = "float32"
 
 
 class TrainState(struct.PyTreeNode):

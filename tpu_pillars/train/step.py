@@ -38,15 +38,23 @@ class TrainBatch(NamedTuple):
 
 
 def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
-                    max_gt_per_class: int = 16):
+                    max_gt_per_class: int = 16,
+                    compute_dtype=jnp.float32):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
     (state, batch): jit, or shard_map over a mesh for data parallelism.
 
     Target assignment runs class-blocked (ops.target_assigner
     make_classwise_assigner): sum_c A_c x G_c IoU pairs instead of the dense
     A x G — identical targets while no class exceeds `max_gt_per_class`
-    boxes per sweep."""
-    model = PointPillars(config, use_running_average=False)
+    boxes per sweep.
+
+    compute_dtype=jnp.bfloat16 enables mixed-precision training: model
+    activations (PFN matmul, RPN convs, head) run in bf16 on the native MXU
+    path while parameters, optimizer state, BatchNorm statistics, targets
+    and losses all stay float32 (the standard master-weights recipe — the
+    head outputs are cast back to f32 before the focal/Smooth-L1 losses)."""
+    model = PointPillars(config, use_running_average=False,
+                         dtype=compute_dtype)
 
     pillarize_b = partial(pillarize_batch_auto, config=config)
     assign_b = jax.vmap(make_classwise_assigner(
@@ -60,7 +68,9 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         targets = assign_b(batch.gt_boxes, batch.gt_classes, batch.gt_valid)
         losses = jax.vmap(
             lambda c, b, d, t: detection_loss(c, b, d, t, config)
-        )(outputs.cls_logits, outputs.box_deltas, outputs.dir_logits, targets)
+        )(outputs.cls_logits.astype(jnp.float32),
+          outputs.box_deltas.astype(jnp.float32),
+          outputs.dir_logits.astype(jnp.float32), targets)
         total = jnp.mean(losses.total)
         summary = LossBreakdown(
             total=total,
