@@ -222,3 +222,27 @@ def test_bf16_train_step_learns(rng):
     # master weights stayed f32
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(state.params))
+
+
+def test_checkpoint_config_fingerprint(tmp_path, rng):
+    # restoring against a different PillarsConfig fails fast and clearly;
+    # fingerprint-less (older) checkpoints keep restoring fine
+    import pytest
+
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=4, total_steps=10)
+    state = create_train_state(cfg, tcfg)
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, state, config=cfg)
+    restore_checkpoint(path, state, config=cfg)       # same config: fine
+    restore_checkpoint(path, state)                   # no check requested
+    other = tiny_config(max_pillars=256)
+    with pytest.raises(ValueError, match="different"):
+        restore_checkpoint(path, state, config=other)
+    # legacy checkpoint without fingerprint restores under any config
+    save_checkpoint(path, state)
+    restore_checkpoint(path, state, config=other)

@@ -7,22 +7,35 @@ the previous checkpoint.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import os
 import tempfile
 
 
+import numpy as np
 from flax import serialization
 
 from tpu_pillars.train.state import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
+def config_fingerprint(config) -> np.ndarray:
+    """Stable 8-byte digest of a PillarsConfig — stored in checkpoints so a
+    restore against the wrong config fails with a clear message instead of
+    a shape mismatch deep inside flax deserialization."""
+    text = repr(sorted(dataclasses.asdict(config).items())).encode()
+    return np.frombuffer(hashlib.sha256(text).digest()[:8], np.uint8).copy()
+
+
+def save_checkpoint(path: str, state: TrainState, config=None) -> None:
     payload = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    if config is not None:
+        payload["config_fp"] = config_fingerprint(config)
     data = serialization.to_bytes(payload)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
@@ -36,16 +49,32 @@ def save_checkpoint(path: str, state: TrainState) -> None:
             os.unlink(tmp)
 
 
-def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into the structure of `template` (same config/optimizer)."""
+def restore_checkpoint(path: str, template: TrainState,
+                       config=None) -> TrainState:
+    """Restore into the structure of `template` (same config/optimizer).
+
+    If `config` is given and the checkpoint recorded a fingerprint, a
+    mismatch raises ValueError up front."""
     with open(path, "rb") as f:
         data = f.read()
+    raw = serialization.msgpack_restore(data)
+    if config is not None and "config_fp" in raw:
+        want = config_fingerprint(config)
+        got = np.asarray(raw["config_fp"], np.uint8)
+        if not np.array_equal(want, got):
+            raise ValueError(
+                f"checkpoint {path} was written for a different "
+                f"PillarsConfig (fingerprint {got.tobytes().hex()} != "
+                f"{want.tobytes().hex()}); refusing to restore")
     target = {
         "step": template.step,
         "params": template.params,
         "batch_stats": template.batch_stats,
         "opt_state": template.opt_state,
     }
+    if "config_fp" in raw:
+        target["config_fp"] = config_fingerprint(config) if config is not None \
+            else np.zeros(8, np.uint8)
     restored = serialization.from_bytes(target, data)
     return template.replace(
         step=restored["step"],

@@ -82,12 +82,12 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
                 steps_per_s=round((i + 1) / (time.perf_counter() - t0), 3),
             )
         if ckpt_path and (i + 1) % ckpt_every == 0:
-            save_checkpoint(ckpt_path, state)
+            save_checkpoint(ckpt_path, state, config=config)
             logger.log("checkpoint", step=int(state.step), path=ckpt_path)
         if eval_fn is not None and (i + 1) % eval_every == 0 and i + 1 < steps:
             run_eval()
     if ckpt_path:
-        save_checkpoint(ckpt_path, state)
+        save_checkpoint(ckpt_path, state, config=config)
     if i >= 0:
         run_eval()
     return state
@@ -155,7 +155,7 @@ def main() -> None:
     if args.resume and os.path.exists(ckpt_path):
         from tpu_pillars.train.checkpoint import restore_checkpoint
 
-        state = restore_checkpoint(ckpt_path, state)
+        state = restore_checkpoint(ckpt_path, state, config=config)
         start = int(state.step)
 
     batches = synthetic_batches(config, tcfg, seed=args.seed)
