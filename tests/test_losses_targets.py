@@ -63,8 +63,8 @@ def test_detection_loss_perfect_prediction_is_small():
     onehot = np.zeros((A, cfg.num_classes), np.float32)
     onehot[:4, 0] = 1.0
     targets = Targets(
-        cls_onehot=jnp.asarray(onehot),
-        reg_targets=jnp.zeros((A, 7)),
+        cls_onehot=jnp.asarray(onehot.T),
+        reg_targets=jnp.zeros((7, A)),
         dir_targets=jnp.zeros((A,), jnp.int32),
         cls_weights=jnp.ones((A,)),
         reg_weights=jnp.asarray((np.arange(A) < 4).astype(np.float32)),
@@ -85,8 +85,8 @@ def test_detection_loss_angle_sin_symmetry():
     cfg = CFG
     A = 4
     targets = Targets(
-        cls_onehot=jnp.zeros((A, cfg.num_classes)),
-        reg_targets=jnp.zeros((A, 7)),
+        cls_onehot=jnp.zeros((cfg.num_classes, A)),
+        reg_targets=jnp.zeros((7, A)),
         dir_targets=jnp.zeros((A,), jnp.int32),
         cls_weights=jnp.zeros((A,)),
         reg_weights=jnp.ones((A,)),
@@ -122,8 +122,8 @@ def test_assigner_gt_equal_to_anchor_is_positive():
                        gb, gc, gv, cfg, iou_chunk=4096)
     reg_w = np.asarray(t.reg_weights)
     assert reg_w[idx] == 1.0
-    np.testing.assert_allclose(np.asarray(t.reg_targets)[idx], 0.0, atol=1e-5)
-    assert np.asarray(t.cls_onehot)[idx, 0] == 1.0
+    np.testing.assert_allclose(np.asarray(t.reg_targets)[:, idx], 0.0, atol=1e-5)
+    assert np.asarray(t.cls_onehot)[0, idx] == 1.0
     # direction: gt yaw = 0 -> not > 0 -> class 0
     assert np.asarray(t.dir_targets)[idx] == 0
     assert float(t.num_pos) >= 1
@@ -143,7 +143,7 @@ def test_assigner_class_matching():
     pos = np.asarray(t.reg_weights) > 0
     assert pos.any()
     assert (np.asarray(anchor_cls)[pos] == ped).all()
-    assert np.asarray(t.cls_onehot)[pos][:, ped].all()
+    assert np.asarray(t.cls_onehot)[ped, pos].all()
 
 
 def test_assigner_force_match_low_iou_gt():

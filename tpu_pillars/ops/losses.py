@@ -54,7 +54,7 @@ def detection_loss(cls_logits, box_deltas, dir_logits, targets: Targets,
     norm = jnp.maximum(targets.num_pos, 1.0)
 
     cls_el = sigmoid_focal_loss(
-        cls_logits.T, targets.cls_onehot.T,
+        cls_logits.T, targets.cls_onehot,
         config.focal_alpha, config.focal_gamma
     )                                                    # (9, A)
     cls_loss = jnp.sum(cls_el * targets.cls_weights[None, :]) / norm
@@ -63,7 +63,7 @@ def detection_loss(cls_logits, box_deltas, dir_logits, targets: Targets,
     # making theta and theta+pi equivalent for localization (dir head
     # disambiguates) [PointPillars paper section 2.3]
     box_t = box_deltas.T                                 # (7, A)
-    reg_t = targets.reg_targets.T
+    reg_t = targets.reg_targets
     diff = box_t - reg_t
     angle = jnp.sin(box_t[6] - reg_t[6])
     diff = jnp.concatenate([diff[:6], angle[None, :]], axis=0)

@@ -28,8 +28,13 @@ from tpu_pillars.ops.iou import (
 
 
 class Targets(NamedTuple):
-    cls_onehot: jnp.ndarray   # (A, num_classes) one-hot (zeros for negatives)
-    reg_targets: jnp.ndarray  # (A, 7)
+    """Per-anchor training targets, FEATURE-MAJOR: the 720k-anchor axis
+    rides the TPU lane dimension. Anchor-major (A, k) layouts tile to
+    (8, 128) vregs with k<=9 live lanes — 14x+ padded HBM traffic on every
+    loss pass (ops/losses.py runs the same orientation)."""
+
+    cls_onehot: jnp.ndarray   # (num_classes, A) one-hot (zeros for negatives)
+    reg_targets: jnp.ndarray  # (7, A)
     dir_targets: jnp.ndarray  # (A,) int32 in {0, 1}
     cls_weights: jnp.ndarray  # (A,) 1 for pos+neg, 0 for ignored
     reg_weights: jnp.ndarray  # (A,) 1 for pos
@@ -77,14 +82,15 @@ def assign_targets(anchors, anchor_cls, gt_boxes, gt_cls, gt_valid,
     reg_targets = encode_boxes(matched, anchors)
     dir_targets = (matched[:, 6] > 0.0).astype(jnp.int32) * pos
 
-    onehot = jax_nn_one_hot(gt_cls[assigned_gt], config.num_classes)
-    cls_onehot = onehot * pos[:, None]
+    onehot_t = (gt_cls[assigned_gt][None, :]
+                == jnp.arange(config.num_classes)[:, None])   # (C, A)
+    cls_onehot = onehot_t & pos[None, :]
 
     cls_weights = (pos | neg).astype(jnp.float32)
     reg_weights = pos.astype(jnp.float32)
     return Targets(
         cls_onehot=cls_onehot.astype(jnp.float32),
-        reg_targets=reg_targets * pos[:, None],
+        reg_targets=reg_targets.T * pos[None, :],
         dir_targets=dir_targets * pos,
         cls_weights=cls_weights,
         reg_weights=reg_weights,
@@ -186,10 +192,11 @@ def make_classwise_assigner(config: PillarsConfig, max_gt_per_class: int = 16,
         reg = unblock(reg_c)
         dirt = unblock(dir_c)
         anchor_cls = jnp.asarray(anchor_cls_np)
-        cls_onehot = jax_nn_one_hot(anchor_cls, C) * pos[:, None]
+        cls_onehot = ((anchor_cls[None, :] == jnp.arange(C)[:, None])
+                      & pos[None, :]).astype(jnp.float32)     # (C, A)
         return Targets(
             cls_onehot=cls_onehot,
-            reg_targets=reg * pos[:, None],
+            reg_targets=reg.T * pos[None, :],
             dir_targets=dirt * pos,
             cls_weights=(pos | neg).astype(jnp.float32),
             reg_weights=pos.astype(jnp.float32),
