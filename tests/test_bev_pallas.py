@@ -56,3 +56,38 @@ def test_bev_emit_dense_full_grid(rng):
     got = scatter_to_bev_emit(feats, pid, mask, CFG)
     want = scatter_to_bev(feats, coords, mask, CFG)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bev_ring_matches_scatter(rng):
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_ring
+
+    batch = _pillars_from_cloud(rng, [3000, 4096, 0])
+    B, P = batch.pillar_mask.shape
+    feats = jnp.asarray(rng.normal(size=(B, P, 32)).astype(np.float32))
+    pid = batch.coords[..., 0] * CFG.grid_w + batch.coords[..., 1]
+    got = scatter_to_bev_ring(feats, pid, batch.pillar_mask, CFG)
+    want = scatter_to_bev(feats, batch.coords, batch.pillar_mask, CFG)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bev_ring_dense_and_sparse_extremes(rng):
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_ring
+
+    # dense: every slot occupied with consecutive ids (window always full);
+    # sparse: two pillars at opposite grid corners (flush pumps the gap)
+    B, P, C = 1, CFG.max_pillars, 64
+    pid_dense = jnp.arange(P, dtype=jnp.int32)[None]
+    mask = jnp.ones((B, P), bool)
+    feats = jnp.asarray(rng.normal(size=(B, P, C)).astype(np.float32))
+    coords = jnp.stack([pid_dense // CFG.grid_w, pid_dense % CFG.grid_w], -1)
+    got = scatter_to_bev_ring(feats, pid_dense, mask, CFG)
+    want = scatter_to_bev(feats, coords, mask, CFG)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    hw = CFG.grid_h * CFG.grid_w
+    pid_sparse = jnp.zeros((B, P), jnp.int32).at[0, 0].set(0).at[0, 1].set(hw - 1)
+    mask2 = jnp.zeros((B, P), bool).at[0, :2].set(True)
+    coords2 = jnp.stack([pid_sparse // CFG.grid_w, pid_sparse % CFG.grid_w], -1)
+    got2 = scatter_to_bev_ring(feats, pid_sparse, mask2, CFG)
+    want2 = scatter_to_bev(feats, coords2, mask2, CFG)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))

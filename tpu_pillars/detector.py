@@ -60,9 +60,9 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
     kernel in interpret mode, so fidelity tests cover it everywhere.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_auto
     from tpu_pillars.ops.emit_pallas import pillarize_auto
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
-    from tpu_pillars.ops.voxelize import scatter_to_bev
 
     model = PointPillars(config, dtype=dtype)
 
@@ -74,7 +74,7 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
             w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
                            p["bn"]["bias"], bs["mean"], bs["var"])
             pillar_feats = pfn_fused(batch.features, batch.mask, w, b)
-            canvas = scatter_to_bev(pillar_feats, batch.coords,
+            canvas = scatter_to_bev_auto(pillar_feats, batch.coords,
                                     batch.pillar_mask, config)
             out = model.apply(variables, canvas,
                               method=_PP.detect_from_canvas)
@@ -101,9 +101,9 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     (B*P, N, D) for ONE kernel launch, and the convs run as one NHWC batch.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_auto
     from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
-    from tpu_pillars.ops.voxelize import scatter_to_bev
 
     model = PointPillars(config, dtype=dtype)
 
@@ -117,7 +117,7 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
                            p["bn"]["bias"], bs["mean"], bs["var"])
             flat = pfn_fused(batch.features.reshape(B * P, N, D),
                              batch.mask.reshape(B * P, N), w, b)
-            canvas = scatter_to_bev(flat.reshape(B, P, -1), batch.coords,
+            canvas = scatter_to_bev_auto(flat.reshape(B, P, -1), batch.coords,
                                     batch.pillar_mask, config)
             out = model.apply(variables, canvas,
                               method=_PP.detect_from_canvas)

@@ -182,9 +182,172 @@ def scatter_to_bev_emit(pillar_features, pid_per, pillar_mask,
 
 def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
                         config: PillarsConfig):
-    """BEV scatter dispatcher. The Pallas block-gather has not yet beaten
-    the XLA scatter on chip (14.3 vs 14.6 ms at batch 8), so this routes to
-    the XLA path everywhere until a measured win flips it."""
+    """BEV scatter dispatcher (inference paths; training keeps the XLA
+    scatter, whose transpose XLA derives for the backward pass). On TPU
+    with a compatible geometry the streaming ring kernel wins: 9.9 vs
+    14.6 ms at batch 8, bit-exact. The block-gather variant measured a tie
+    (14.3 ms) and is kept only as the measured record. Off-TPU, or for
+    channel counts that don't divide 128, this falls back to the XLA
+    scatter."""
     from tpu_pillars.ops.voxelize import scatter_to_bev
 
-    return scatter_to_bev(pillar_features, coords, pillar_mask, config)
+    C = pillar_features.shape[-1]
+    H, W = config.grid_h, config.grid_w
+    ok = jax.default_backend() == "tpu" and 128 % C == 0
+    if ok:
+        hwr = (H * W) // (128 // C)
+        ok = any(hwr % r == 0 for r in range(8, 1025, 8))
+    if not ok:
+        return scatter_to_bev(pillar_features, coords, pillar_mask, config)
+    unbatched = pillar_features.ndim == 2
+    if unbatched:
+        pillar_features = pillar_features[None]
+        coords = coords[None]
+        pillar_mask = pillar_mask[None]
+    pid = coords[..., 0] * W + coords[..., 1]
+    out = scatter_to_bev_ring(pillar_features, pid, pillar_mask, config)
+    return out[0] if unbatched else out
+
+
+# ---------------------------------------------------------------------------
+# Ring-window streaming variant: grid over pillar chunks (sequential), VMEM
+# ring over canvas rows, flush-interleaved masked adds. No per-block
+# worst-case staging and no host-side prep at all — the candidate to beat
+# both the XLA scatter and the block gather. A first attempt hung the
+# device: its DMA semaphore was allocated as the bare class
+# (pltpu.SemaphoreType.DMA) instead of an instance (DMA(())), so the
+# flush's wait() blocked on a semaphore no copy ever signalled.
+# ---------------------------------------------------------------------------
+
+_RCHUNK = 256     # pillars per grid step
+
+
+def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
+                     c: int, cpr: int, whalf: int, hwr: int, n_chunks: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    wrows = 2 * whalf
+    k = _RCHUNK
+
+    @pl.when(j == 0)
+    def _():
+        win_ref[:] = jnp.zeros((wrows, cpr * c), jnp.float32)
+        carry_ref[0] = 0
+
+    pid = pid_ref[:, 0:1].astype(jnp.int32)                  # (K, 1)
+    valid = pid < hwr * cpr
+    row = jnp.where(valid, pid // cpr, hwr)                  # canvas row
+    lane_g = pid - row * cpr
+    max_row = jnp.max(jnp.where(valid, row, -1))
+
+    feats = feats_ref[:]                                     # (K, C) f32
+    hi_p = feats.astype(jnp.bfloat16)
+    r1 = feats - hi_p.astype(jnp.float32)
+    mid_p = r1.astype(jnp.bfloat16)
+    lo_p = (r1 - mid_p.astype(jnp.float32)).astype(jnp.bfloat16)
+    pieces = []
+    for part in (hi_p, mid_p, lo_p):
+        row_parts = []
+        for g in range(cpr):
+            m_g = (lane_g == g).astype(jnp.bfloat16)
+            row_parts.append(part * m_g)
+        pieces.append(jnp.concatenate(row_parts, axis=1))    # (K, cpr*C)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (k, wrows), 1)
+    contract0 = (((0,), (0,)), ((), ()))
+
+    def add_rows(lo_bound, hi_bound):
+        """Accumulate pillars with row in [lo_bound, hi_bound)."""
+        sel = valid & (row >= lo_bound) & (row < hi_bound)
+        slot = row % wrows
+        one_hot = ((slot == row_iota) & sel).astype(jnp.bfloat16)
+        acc = win_ref[:]
+        for y in pieces:
+            acc = acc + jax.lax.dot_general(
+                one_hot, y, contract0, preferred_element_type=jnp.float32)
+        win_ref[:] = acc
+
+    def flush(base):
+        base = pl.multiple_of(base, whalf)
+        half_off = pl.multiple_of((base // whalf) % 2 * whalf, whalf)
+        cp = pltpu.make_async_copy(
+            win_ref.at[pl.ds(half_off, whalf), :],
+            out_ref.at[pl.ds(b * hwr + base, whalf), :],
+            sem)
+        cp.start()
+        cp.wait()
+        win_ref[pl.ds(half_off, whalf), :] = jnp.zeros(
+            (whalf, cpr * c), jnp.float32)
+        return base + whalf
+
+    win_base = carry_ref[0]
+    add_rows(jnp.int32(0), win_base + wrows)
+
+    def body(state):
+        wb, ab = state
+        wb = flush(wb)
+        add_rows(ab, wb + wrows)
+        return wb, wb + wrows
+
+    win_base, _ = jax.lax.while_loop(
+        lambda s: max_row >= s[0] + wrows, body,
+        (win_base, win_base + wrows))
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        carry_ref[0] = jax.lax.while_loop(
+            lambda base: base < hwr, flush, win_base)
+
+    @pl.when(j < n_chunks - 1)
+    def _():
+        carry_ref[0] = win_base
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
+                        config: PillarsConfig, interpret: bool | None = None):
+    """Streaming ring variant of scatter_to_bev_emit — same contract."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = config.grid_h, config.grid_w
+    B, P, C = pillar_features.shape
+    HW = H * W
+    cpr = 128 // C
+    hwr = HW // cpr
+    whalf = 0
+    for r in range(8, 1025, 8):
+        if hwr % r == 0:
+            whalf = r
+
+    p_pad = ((P + _RCHUNK - 1) // _RCHUNK) * _RCHUNK
+    pid_eff = jnp.where(pillar_mask, pid_per, HW)
+    feats = pillar_features.astype(jnp.float32)
+    if p_pad != P:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((B, p_pad - P, C), jnp.float32)], axis=1)
+        pid_eff = jnp.concatenate(
+            [pid_eff, jnp.full((B, p_pad - P), HW, pid_eff.dtype)], axis=1)
+    n_chunks = p_pad // _RCHUNK
+    pid8 = jnp.broadcast_to(
+        pid_eff.astype(jnp.float32).reshape(B * p_pad, 1), (B * p_pad, 8))
+
+    out = pl.pallas_call(
+        functools.partial(_bev_ring_kernel, c=C, cpr=cpr, whalf=whalf,
+                          hwr=hwr, n_chunks=n_chunks),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((_RCHUNK, C), lambda b, j: (b * n_chunks + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RCHUNK, 8), lambda b, j: (b * n_chunks + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B * hwr, cpr * C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * whalf, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(feats.reshape(B * p_pad, C), pid8)
+    return out.reshape(B, H, W, C)
