@@ -267,3 +267,24 @@ def iou_3d(boxes1, boxes2):
     v2 = (boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])[None, :]
     union = jnp.maximum(v1 + v2 - inter, _EPS)
     return jnp.clip(inter / union, 0.0, 1.0)
+
+
+def rotated_iou_bev_paired(boxes1, boxes2):
+    """Row-paired rotated BEV IoU: boxes1 (G, 7) against boxes2 (G, K, 7)
+    -> (G, K) — row g of the output compares boxes1[g] with boxes2[g, :].
+    Used by the banded target assigner, where each GT brings its own
+    window of candidate anchors."""
+    c1 = corners_bev_jax(boxes1)[:, None]           # (G, 1, 4, 2)
+    c2 = corners_bev_jax(boxes2)                    # (G, K, 4, 2)
+    inter = convex_quad_intersect_area(c1, c2)      # (G, K)
+    a1 = (boxes1[:, 3] * boxes1[:, 4])[:, None]
+    a2 = boxes2[..., 3] * boxes2[..., 4]
+    dx = boxes1[:, None, 0] - boxes2[..., 0]
+    dy = boxes1[:, None, 1] - boxes2[..., 1]
+    r1 = 0.5 * jnp.sqrt(boxes1[:, 3] ** 2 + boxes1[:, 4] ** 2)[:, None]
+    r2 = 0.5 * jnp.sqrt(boxes2[..., 3] ** 2 + boxes2[..., 4] ** 2)
+    rr = r1 + r2
+    inter = jnp.where(dx * dx + dy * dy > rr * rr, 0.0, inter)
+    inter = jnp.minimum(inter, jnp.minimum(a1, a2))
+    union = jnp.maximum(a1 + a2 - inter, _EPS)
+    return jnp.clip(inter / union, 0.0, 1.0)

@@ -130,28 +130,74 @@ def group_gt_by_class(gt_boxes, gt_cls, gt_valid, num_classes: int,
 
 
 def make_classwise_assigner(config: PillarsConfig, max_gt_per_class: int = 16,
-                            iou_chunk: int = 16384):
+                            iou_chunk: int = 16384, band_cells: int = 0):
     """Returns assign(gt_boxes (G,7), gt_cls (G,), gt_valid (G,)) -> Targets
-    in the flat anchor layout (same contract as assign_targets)."""
+    in the flat anchor layout (same contract as assign_targets).
+
+    band_cells > 0 enables BANDED assignment: each GT's IoU is computed only
+    against the (band x band x yaws) window of anchors around its center —
+    exact for boxes whose reach fits the band (48 cells covers ~2x the
+    largest canonical class diagonal at 1 m feature stride), since
+    out-of-window pairs read IoU 0, their true value under that bound.
+
+    MEASURED OFF by default: the window machinery (vmap of dynamic_slice /
+    dynamic_update_slice over 16 GT x 9 classes) lowers to XLA gathers and
+    scatters that cost more than the 17x pair reduction saves — 122 ms vs
+    74 ms for the dense path at batch 4 on v5e. The dense (G_c, A_c)
+    formulation is pure VPU compute (~27 ms of rotated-IoU flops) and
+    remains the default; a Pallas windowed assigner with real sequential
+    slices is the remaining idea if this ever needs to shrink."""
     from tpu_pillars.ops.anchors import make_anchors
+    from tpu_pillars.ops.iou import rotated_iou_bev_paired
 
     anchors_np, anchor_cls_np = make_anchors(config)
     C = config.num_classes
     Y = len(config.anchor_yaws)
-    HW = config.feature_h * config.feature_w
+    Hf, Wf = config.feature_h, config.feature_w
+    HW = Hf * Wf
     A = config.num_anchors
     # (A, 7) laid out (HW, C, Y) -> (C, HW*Y, 7) class blocks
     anchors_by_class = jnp.asarray(
         anchors_np.reshape(HW, C, Y, 7).transpose(1, 0, 2, 3).reshape(C, HW * Y, 7))
     matched_thr = jnp.asarray([c.matched_iou for c in config.classes])
     unmatched_thr = jnp.asarray([c.unmatched_iou for c in config.classes])
+    Bc = min(band_cells, Hf, Wf)
+    stride_x = config.voxel_x * config.head_stride
+    stride_y = config.voxel_y * config.head_stride
+
+    def banded_iou(anchors_c, gt_c):
+        """(Ac, 7) anchors of one class, (Gc, 7) GT -> dense (Gc, Ac) IoU
+        with zeros outside each GT's anchor window."""
+        grid = anchors_c.reshape(Hf, Wf, Y, 7)
+
+        def window(g):
+            r0 = jnp.clip(((g[1] - config.y_min) / stride_y).astype(jnp.int32)
+                          - Bc // 2, 0, Hf - Bc)
+            c0 = jnp.clip(((g[0] - config.x_min) / stride_x).astype(jnp.int32)
+                          - Bc // 2, 0, Wf - Bc)
+            win = jax.lax.dynamic_slice(grid, (r0, c0, 0, 0), (Bc, Bc, Y, 7))
+            return win.reshape(Bc * Bc * Y, 7), r0, c0
+
+        wins, r0s, c0s = jax.vmap(window)(gt_c)          # (Gc, K, 7)
+        iou_w = rotated_iou_bev_paired(gt_c, wins)       # (Gc, K)
+
+        def paste(row, r0, c0):
+            z = jnp.zeros((Hf, Wf, Y), row.dtype)
+            return jax.lax.dynamic_update_slice(
+                z, row.reshape(Bc, Bc, Y), (r0, c0, 0))
+
+        dense = jax.vmap(paste)(iou_w, r0s, c0s)
+        return dense.reshape(gt_c.shape[0], Hf * Wf * Y)
 
     def assign_one(anchors_c, gt_c, gv_c, m_thr, u_thr):
         # (Gc, Ac) orientation throughout: the 80k-anchor axis rides the TPU
         # lane dimension. The transposed (Ac, Gc) layout puts Gc=16 in
         # lanes — 8x vreg padding on every one of the argmax/max/compare
         # passes below (measured: 74 ms -> ~30 ms for this block, batch 4).
-        iou = rotated_iou_bev_colchunked(gt_c, anchors_c, chunk=iou_chunk)
+        if Bc > 0:
+            iou = banded_iou(anchors_c, gt_c)
+        else:
+            iou = rotated_iou_bev_colchunked(gt_c, anchors_c, chunk=iou_chunk)
         iou = jnp.where(gv_c[:, None], iou, -1.0)
         Gc, Ac = iou.shape
         best_gt = jnp.argmax(iou, axis=0)                       # (Ac,)
