@@ -257,7 +257,10 @@ def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
     contract0 = (((0,), (0,)), ((), ()))
 
     def add_rows(lo_bound, hi_bound):
-        """Accumulate pillars with row in [lo_bound, hi_bound)."""
+        """Accumulate pillars with row in [lo_bound, hi_bound). (An
+        any-hit predication like the emit kernel's was tried here and
+        measured slightly WORSE — 11.3 vs 9.9 ms — because real rounds
+        almost always have hits; the branch just adds overhead.)"""
         sel = valid & (row >= lo_bound) & (row < hi_bound)
         slot = row % wrows
         one_hot = ((slot == row_iota) & sel).astype(jnp.bfloat16)

@@ -183,25 +183,35 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
     # one-hot expand into the ring window, blocked over window rows: each
     # block builds its (K, WBLK) slice of the one-hot and feeds the feature
     # expansion plus two skinny column-contracted metadata products (both
-    # contract over K on dim 0 — no transposes, which Mosaic lacks)
+    # contract over K on dim 0 — no transposes, which Mosaic lacks). A
+    # chunk's kept rows span at most K+1 consecutive window rows, so most
+    # chunks touch ~2 of the 4 blocks — blocks with no hits skip their
+    # matmuls and window read-modify-writes entirely.
     blk_iota = jax.lax.broadcasted_iota(jnp.int32, (k, _WBLK), 1)
     contract0 = (((0,), (0,)), ((), ()))
     for wb in range(wrows // _WBLK):
-        a_blk = ((off == blk_iota + wb * _WBLK) & keep).astype(jnp.bfloat16)
-        t = sum(jax.lax.dot_general(a_blk, part, contract0,
-                                    preferred_element_type=jnp.float32)
-                for part in y_parts)
-        win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] = (
-            win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] + t)
-        cnt_blk = jax.lax.dot_general(kept_cnt, a_blk, contract0,
-                                      preferred_element_type=jnp.float32)
-        pid_blk = sum(jax.lax.dot_general(part, a_blk, contract0,
+        in_blk = keep & (off >= wb * _WBLK) & (off < (wb + 1) * _WBLK)
+        any_hit = jnp.any(in_blk)
+
+        @pl.when(any_hit)
+        def _(wb=wb, in_blk=in_blk):
+            a_blk = ((off == blk_iota + wb * _WBLK)
+                     & in_blk).astype(jnp.bfloat16)
+            t = sum(jax.lax.dot_general(a_blk, part, contract0,
+                                        preferred_element_type=jnp.float32)
+                    for part in y_parts)
+            win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] = (
+                win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] + t)
+            cnt_blk = jax.lax.dot_general(kept_cnt, a_blk, contract0,
                                           preferred_element_type=jnp.float32)
-                      for part in pid_parts)
-        mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] = (
-            mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] + cnt_blk)
-        mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] = (
-            mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] + pid_blk)
+            pid_blk = sum(
+                jax.lax.dot_general(part, a_blk, contract0,
+                                    preferred_element_type=jnp.float32)
+                for part in pid_parts)
+            mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] = (
+                mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] + cnt_blk)
+            mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] = (
+                mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] + pid_blk)
 
     # update carries from the chunk tail
     new_ord = carry_ord + cum_first[k - 1, 0].astype(jnp.int32)
