@@ -148,13 +148,13 @@ def main() -> None:
         lambda *o: det._post_packed_batch(*o), o_b, 8)
     results["stage_ms_batch8"] = {
         "pillarize": round(per_pill * 1e3, 2),
-        "model": round(per_model * 1e3, 2),
+        "pillarize_plus_model": round(per_model * 1e3, 2),
         "postprocess": round(per_post * 1e3, 2),
     }
     sys.stderr.write(
         f"batch-8 stage times (amortized device): pillarize "
-        f"{per_pill*1e3:.1f} ms, model {per_model*1e3:.1f} ms, "
-        f"decode+NMS {per_post*1e3:.1f} ms\n")
+        f"{per_pill*1e3:.1f} ms, pillarize+model stage "
+        f"{per_model*1e3:.1f} ms, decode+NMS {per_post*1e3:.1f} ms\n")
 
     # --- BASELINE config #4: multi-sweep accumulated clouds (VERDICT item 5)
     import warnings
