@@ -246,3 +246,25 @@ def test_checkpoint_config_fingerprint(tmp_path, rng):
     # legacy checkpoint without fingerprint restores under any config
     save_checkpoint(path, state)
     restore_checkpoint(path, state, config=other)
+
+
+def test_detector_from_checkpoint_config_fingerprint(tmp_path, rng):
+    # the inference-side restore applies the same fingerprint guard as
+    # restore_checkpoint: wrong config -> clear error, right config -> loads
+    import pytest
+
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=4, total_steps=10)
+    state = create_train_state(cfg, tcfg)
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, state, config=cfg)
+    det = Detector.from_checkpoint(cfg, path)
+    assert det.config is cfg
+    other = tiny_config(max_pillars=256)
+    with pytest.raises(ValueError, match="different"):
+        Detector.from_checkpoint(other, path)

@@ -277,11 +277,16 @@ class Detector:
         """Load inference variables from a train.checkpoint msgpack file.
 
         Uses jax.eval_shape to build the variable structure — no model
-        compute or compilation happens before the first predict()."""
+        compute or compilation happens before the first predict(). If the
+        checkpoint recorded a config fingerprint, a mismatch against
+        `config` fails fast with a clear error (same check as
+        train.checkpoint.restore_checkpoint) instead of an opaque shape
+        error deep inside flax deserialization."""
         from flax import serialization
 
         from tpu_pillars.models.pointpillars import PointPillars
         from tpu_pillars.ops.voxelize import PillarBatch
+        from tpu_pillars.train.checkpoint import config_fingerprint
 
         model = PointPillars(config)
         dummy = PillarBatch(
@@ -301,6 +306,14 @@ class Detector:
         # the variables matter for inference — restore the raw msgpack tree
         # and bind just those subtrees against the eval_shape template
         raw = serialization.msgpack_restore(data)
+        if "config_fp" in raw:
+            want = config_fingerprint(config)
+            got = np.asarray(raw["config_fp"], np.uint8)
+            if not np.array_equal(want, got):
+                raise ValueError(
+                    f"checkpoint {path} was written for a different "
+                    f"PillarsConfig (fingerprint {got.tobytes().hex()} != "
+                    f"{want.tobytes().hex()}); refusing to restore")
         variables = {
             "params": serialization.from_state_dict(template["params"],
                                                     raw["params"]),

@@ -26,10 +26,12 @@ cells form one contiguous range of pillar-table rows.
     ring-window variant with dynamic flush loops hung the chip): every
     canvas block is written exactly once by its own grid step.
 
-Status: bit-exact vs the XLA scatter on v5e but only ties it (14.3 vs
-14.6 ms at batch 8) before the prep fix — kept NON-DEFAULT until a
-measured win lands; `scatter_to_bev_auto` currently routes to the XLA
-scatter everywhere.
+Status: this block-gather variant (scatter_to_bev_emit) is bit-exact vs
+the XLA scatter on v5e but only ties it (14.3 vs 14.6 ms at batch 8) —
+kept NON-DEFAULT as the measured record. The live inference default is the
+streaming ring kernel below (scatter_to_bev_ring, 9.9 vs 14.6 ms at
+batch 8): `scatter_to_bev_auto` dispatches to it on TPU for compatible
+geometries and falls back to the XLA scatter elsewhere.
 
 Requires C | 128 and an R (multiple of 8, dividing HW/cpr) — both hold for
 every shipped config; callers fall back to the XLA scatter otherwise.
@@ -188,7 +190,13 @@ def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
     14.6 ms at batch 8, bit-exact. The block-gather variant measured a tie
     (14.3 ms) and is kept only as the measured record. Off-TPU, or for
     channel counts that don't divide 128, this falls back to the XLA
-    scatter."""
+    scatter.
+
+    PRECONDITION (TPU path): pillars must be ordered by ascending pillar id
+    per sample — the ordering every shipped pillarizer guarantees (canonical
+    spec rule 3, ops/voxelize.py). The ring kernel's flush schedule relies
+    on it; unsorted coords would produce a silently wrong canvas. Callers
+    with arbitrary ordering must use ops.voxelize.scatter_to_bev."""
     from tpu_pillars.ops.voxelize import scatter_to_bev
 
     C = pillar_features.shape[-1]
@@ -321,6 +329,14 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
     for r in range(8, 1025, 8):
         if hwr % r == 0:
             whalf = r
+    # flush invariant: each add round covers exactly the open window
+    # [win_base, win_base + 2*whalf) and halves flush only once every row
+    # below them is closed, so distinct unflushed rows never share a ring
+    # slot. That needs a non-degenerate window; geometries where no
+    # multiple of 8 divides hwr must use the XLA scatter (auto does this).
+    assert whalf > 0, (
+        f"scatter_to_bev_ring needs a window half-size dividing "
+        f"H*W/cpr={hwr}; use scatter_to_bev for this geometry")
 
     p_pad = ((P + _RCHUNK - 1) // _RCHUNK) * _RCHUNK
     pid_eff = jnp.where(pillar_mask, pid_per, HW)

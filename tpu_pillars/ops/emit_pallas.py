@@ -60,6 +60,15 @@ _META = 8         # metadata ROWS (count, pillar_id, 6 spare): the meta
                   # cost of the feature expansion, and DMA slices stay
                   # tile-aligned in both dims
 
+# Ring no-collision invariant: a chunk of _K points can open at most _K + 1
+# consecutive window rows, and a half only flushes once every row below it
+# is closed, so unflushed rows span < _WHALF + _K. Distinct unflushed rows
+# map to distinct ring slots iff that span <= 2 * _WHALF, i.e. _K <= _WHALF.
+# Retuning _K upward without growing _WHALF would silently corrupt the
+# pillar table — keep this assert.
+assert _K <= _WHALF, "emit ring flush invariant requires _K <= _WHALF"
+assert _WHALF % _WBLK == 0 and _K % _WBLK == 0
+
 
 def _split3(x):
     """f32 -> three bf16 parts whose f32 sum reconstructs x EXACTLY.
