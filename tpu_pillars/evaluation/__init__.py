@@ -1,5 +1,6 @@
 from tpu_pillars.evaluation.map_eval import (
     EvalBox, get_average_precisions, lyft_map,
 )
+from tpu_pillars.evaluation.map_eval_alt import lyft_map_alt
 
-__all__ = ["EvalBox", "get_average_precisions", "lyft_map"]
+__all__ = ["EvalBox", "get_average_precisions", "lyft_map", "lyft_map_alt"]
