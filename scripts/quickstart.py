@@ -26,9 +26,19 @@ def main() -> None:
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--out", type=str, default="/tmp/tpu_pillars_quickstart")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gt-sample", type=int, default=0, metavar="TARGET",
+                   help="enable GT-database sampling augmentation with this "
+                        "per-class instance target (0 = off)")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this uses the config key, which "
+                        "works when set before first backend use)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from tpu_pillars.config import tiny_config
     from tpu_pillars.data.fixture import build_fixture
@@ -55,6 +65,17 @@ def main() -> None:
     print(f"    {len(tokens)} samples, "
           f"{sum(len(ds.get_boxes_lidar(t)) for t in tokens)} GT boxes")
 
+    gt_sampler = None
+    if args.gt_sample > 0:
+        from tpu_pillars.data.gt_sampler import (
+            GTDatabase, GTSampleConfig, GTSampler,
+        )
+
+        db = GTDatabase.from_dataset(ds, cfg)
+        gt_sampler = GTSampler(
+            db, GTSampleConfig(target_per_class=args.gt_sample))
+        print(f"    GT-sampling on: db per-class counts {db.counts()}")
+
     print(f"2/5 training {args.steps} steps (batch {args.batch}) ...")
     tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
                        batch_size=args.batch, max_gt_boxes=8)
@@ -63,7 +84,8 @@ def main() -> None:
     with JsonlLogger(os.path.join(args.out, "train.jsonl"), echo=True) as lg:
         state = fit(state,
                     dataset_batches(ds, cfg, tcfg.batch_size,
-                                    tcfg.max_gt_boxes, seed=args.seed),
+                                    tcfg.max_gt_boxes, seed=args.seed,
+                                    gt_sampler=gt_sampler),
                     steps=args.steps, config=cfg, logger=lg,
                     log_every=max(args.steps // 5, 1))
 

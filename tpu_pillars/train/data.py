@@ -54,9 +54,14 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                     batch_size: int, max_gt_boxes: int,
                     tokens: Optional[Sequence[str]] = None,
                     augment: Optional[AugmentConfig] = None,
+                    gt_sampler=None,
                     seed: int = 0, epochs: Optional[int] = None,
                     use_native: Optional[bool] = None) -> Iterable[TrainBatch]:
-    """Shuffled epoch iterator of TrainBatch (drops the ragged tail batch)."""
+    """Shuffled epoch iterator of TrainBatch (drops the ragged tail batch).
+
+    gt_sampler: optional data.gt_sampler.GTSampler — paste-injects stored
+    GT objects of under-represented classes (collision-checked) BEFORE the
+    global transforms, matching the SECOND-lineage augmentation order."""
     rng = np.random.default_rng(seed)
     tokens = list(tokens or dataset.sample_tokens())
     f_expect = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
@@ -74,6 +79,8 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                 pts, b, c, v = sample_to_arrays(
                     dataset, tokens[j], config, max_gt_boxes,
                     use_native=use_native)
+                if gt_sampler is not None:
+                    pts, b, c, v = gt_sampler.inject_padded(rng, pts, b, c, v)
                 if augment is not None:
                     pts, b = augment_scene(rng, pts, b, augment)
                 n = min(len(pts), config.max_points)
