@@ -50,25 +50,55 @@ def build_forward_fn(config: PillarsConfig, dtype=jnp.float32):
     return forward
 
 
+def _use_fused_frontend(config: PillarsConfig, use_pallas_pfn: bool,
+                        fused_frontend):
+    """Resolve the fused-front-end switch: None = auto (TPU only — the
+    interpret-mode emit kernel is correct but slow on CPU), subject to the
+    fused kernel's power-of-two points/pillar requirement."""
+    n = config.max_points_per_pillar
+    if fused_frontend is None:
+        fused_frontend = use_pallas_pfn and jax.default_backend() == "tpu"
+    return fused_frontend and (n & (n - 1)) == 0
+
+
 def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
-                   use_pallas_pfn: bool = True):
+                   use_pallas_pfn: bool = True,
+                   fused_frontend: bool | None = None):
     """Stage 1: points -> (cls_logits, box_deltas, dir_logits), f32.
 
-    With `use_pallas_pfn` the PillarFeatureNet runs as the fused Pallas
-    kernel (ops.pfn_pallas): inference BN folds into the matmul and the
-    (P, N, C) activation never touches HBM. Off-TPU backends run the same
-    kernel in interpret mode, so fidelity tests cover it everywhere.
+    Default TPU path (`fused_frontend` auto): the decoration-free fused
+    front end (ops.fused_pfn) — sort, emit kernel, one fused
+    decorate+PFN kernel on the flat table, ring BEV scatter; the decorated
+    (P, N, 9) tensor never exists. With `use_pallas_pfn` but no fusion the
+    PillarFeatureNet runs as the standalone Pallas kernel (ops.pfn_pallas)
+    on the decorated pillars. Off-TPU backends default to the XLA
+    pillarize + interpret-mode PFN kernel, so fidelity tests cover every
+    piece on the CPU backend too.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
-    from tpu_pillars.ops.bev_pallas import scatter_to_bev_auto
+    from tpu_pillars.ops.bev_pallas import (
+        scatter_to_bev_auto, scatter_to_bev_auto_pid,
+    )
     from tpu_pillars.ops.emit_pallas import pillarize_auto
+    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
-        batch = pillarize_auto(points, num_points, config)
-        if use_pallas_pfn:
+        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            feats, pid_per, pmask = pillarize_pfn_fused(
+                points[None], num_points[None], w, b, config)
+            canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask,
+                                             config)[0]
+            out = model.apply(variables, canvas,
+                              method=_PP.detect_from_canvas)
+        elif use_pallas_pfn:
+            batch = pillarize_auto(points, num_points, config)
             p = variables["params"]["pfn"]
             bs = variables["batch_stats"]["pfn"]["bn"]
             w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
@@ -79,6 +109,7 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
             out = model.apply(variables, canvas,
                               method=_PP.detect_from_canvas)
         else:
+            batch = pillarize_auto(points, num_points, config)
             out = model.apply(variables, batch)
         # feature-major stage handoff: (k, A) instead of (A, k) — anchor-
         # major jit outputs are stored lane-padded to 128 on TPU (a
@@ -93,23 +124,39 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
 
 
 def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
-                           use_pallas_pfn: bool = True):
+                           use_pallas_pfn: bool = True,
+                           fused_frontend: bool | None = None):
     """Natively batched stage 1: (B, M, F) points -> (B, A, ·) head outputs.
 
-    vmap-ing the single-sweep fn would also vmap the Pallas PFN kernel
-    (slow batching rule); instead the (B, P, N, D) pillars reshape to
-    (B*P, N, D) for ONE kernel launch, and the convs run as one NHWC batch.
+    vmap-ing the single-sweep fn would also vmap the Pallas kernels (slow
+    batching rule); instead the whole front end is natively batched: one
+    sort, one emit launch, one fused-PFN launch (or one (B*P, N, D) PFN
+    launch on the un-fused path), one NHWC conv batch. See build_model_fn
+    for the fused-front-end dispatch rules.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
-    from tpu_pillars.ops.bev_pallas import scatter_to_bev_auto
+    from tpu_pillars.ops.bev_pallas import (
+        scatter_to_bev_auto, scatter_to_bev_auto_pid,
+    )
     from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
+    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
-        batch = pillarize_batch_auto(points, num_points, config)
-        if use_pallas_pfn:
+        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            feats, pid_per, pmask = pillarize_pfn_fused(
+                points, num_points, w, b, config)
+            canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask, config)
+            out = model.apply(variables, canvas,
+                              method=_PP.detect_from_canvas)
+        elif use_pallas_pfn:
+            batch = pillarize_batch_auto(points, num_points, config)
             B, P, N, D = batch.features.shape
             p = variables["params"]["pfn"]
             bs = variables["batch_stats"]["pfn"]["bn"]
@@ -122,6 +169,7 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
             out = model.apply(variables, canvas,
                               method=_PP.detect_from_canvas)
         else:
+            batch = pillarize_batch_auto(points, num_points, config)
             out = model.apply(variables, batch)
         # feature-major handoff (see build_model_fn)
         swap = lambda t: jnp.swapaxes(t.astype(jnp.float32), -1, -2)  # noqa: E731
@@ -153,11 +201,15 @@ class Detector:
     pipeline, converts to Box3D (optionally into the global frame)."""
 
     def __init__(self, config: PillarsConfig, variables, dtype=jnp.float32,
-                 use_pallas_pfn: bool = True, wire_dtype=jnp.float32):
+                 use_pallas_pfn: bool = True, wire_dtype=jnp.float32,
+                 fused_frontend: bool | None = None):
         """wire_dtype: dtype of the host->device point upload. float16 halves
         the per-sweep transfer (the dominant serving cost on PCIe/tunnel
         links) at ~5 cm worst-case coordinate quantization at 100 m — opt-in;
-        it breaks bit-for-boxes fidelity vs the f32 reference."""
+        it breaks bit-for-boxes fidelity vs the f32 reference.
+
+        fused_frontend: None = auto (decoration-free fused front end on
+        TPU, classic pillarize+PFN elsewhere); True/False forces it."""
         from tpu_pillars.utils.truncation import TruncationStats
 
         config.validate()
@@ -171,9 +223,11 @@ class Detector:
         self._wire_np = _wire_np
         # two executables, device-resident hand-off (see build_forward_fn)
         base_model_fn = build_model_fn(config, dtype=dtype,
-                                       use_pallas_pfn=use_pallas_pfn)
+                                       use_pallas_pfn=use_pallas_pfn,
+                                       fused_frontend=fused_frontend)
         base_model_fn_b = build_model_fn_batched(
-            config, dtype=dtype, use_pallas_pfn=use_pallas_pfn)
+            config, dtype=dtype, use_pallas_pfn=use_pallas_pfn,
+            fused_frontend=fused_frontend)
 
         def model_fn(variables, points, num_points):
             return base_model_fn(variables, points.astype(jnp.float32),

@@ -182,6 +182,27 @@ def scatter_to_bev_emit(pillar_features, pid_per, pillar_mask,
     return out.reshape(B, H, W, C)
 
 
+def scatter_to_bev_auto_pid(pillar_features, pid_per, pillar_mask,
+                            config: PillarsConfig):
+    """scatter_to_bev_auto for callers that carry flat pillar ids instead
+    of (row, col) coords (the fused front end). Same precondition: pillars
+    ascending by id per sample. Batched only: (B, P, C) -> (B, H, W, C)."""
+    from tpu_pillars.ops.voxelize import scatter_to_bev
+
+    C = pillar_features.shape[-1]
+    H, W = config.grid_h, config.grid_w
+    ok = jax.default_backend() == "tpu" and 128 % C == 0
+    if ok:
+        hwr = (H * W) // (128 // C)
+        ok = any(hwr % r == 0 for r in range(8, 1025, 8))
+    if ok:
+        return scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
+                                   config)
+    coords = jnp.stack([pid_per // W, pid_per % W], axis=-1) \
+        * pillar_mask[..., None]
+    return scatter_to_bev(pillar_features, coords, pillar_mask, config)
+
+
 def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
                         config: PillarsConfig):
     """BEV scatter dispatcher (inference paths; training keeps the XLA

@@ -185,9 +185,20 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
                                 part[:, f:f + 1].astype(jnp.float32), 0.0)
         y_parts.append(yp.astype(jnp.bfloat16))
 
+    # metadata payload, one column stack -> ONE skinny matmul per hit block:
+    # col 0 = kept indicator (count), cols 1-3 = pillar id (3-way bf16
+    # split, emitted at the segment's first point), cols 4-12 = kept-masked
+    # x, y, z (3 parts each — their window sums are the pillar coordinate
+    # sums the fused decoration-free PFN consumes), cols 13-15 = zero pad.
     kept_cnt = (rank < n_pts).astype(jnp.bfloat16)            # (K, 1) exact
+    kept_f = (rank < n_pts).astype(jnp.float32)
     pid_first = first.astype(jnp.float32) * g.astype(jnp.float32)
-    pid_parts = _split3(pid_first)
+    meta_cols = [kept_cnt]
+    meta_cols += list(_split3(pid_first))
+    for fcol in range(3):
+        meta_cols += list(_split3(pts_ref[:, fcol:fcol + 1] * kept_f))
+    meta_payload = jnp.concatenate(
+        meta_cols + [jnp.zeros((k, 3), jnp.bfloat16)], axis=1)  # (K, 16)
 
     # one-hot expand into the ring window, blocked over window rows: each
     # block builds its (K, WBLK) slice of the one-hot and feeds the feature
@@ -211,16 +222,18 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
                     for part in y_parts)
             win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] = (
                 win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] + t)
-            cnt_blk = jax.lax.dot_general(kept_cnt, a_blk, contract0,
-                                          preferred_element_type=jnp.float32)
-            pid_blk = sum(
-                jax.lax.dot_general(part, a_blk, contract0,
-                                    preferred_element_type=jnp.float32)
-                for part in pid_parts)
-            mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] = (
-                mwin_ref[0:1, wb * _WBLK:(wb + 1) * _WBLK] + cnt_blk)
-            mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] = (
-                mwin_ref[1:2, wb * _WBLK:(wb + 1) * _WBLK] + pid_blk)
+            res = jax.lax.dot_general(meta_payload, a_blk, contract0,
+                                      preferred_element_type=jnp.float32)
+            sl = slice(wb * _WBLK, (wb + 1) * _WBLK)
+            mwin_ref[0:1, sl] = mwin_ref[0:1, sl] + res[0:1]
+            mwin_ref[1:2, sl] = (mwin_ref[1:2, sl]
+                                 + res[1:2] + res[2:3] + res[3:4])
+            mwin_ref[2:3, sl] = (mwin_ref[2:3, sl]
+                                 + res[4:5] + res[5:6] + res[6:7])
+            mwin_ref[3:4, sl] = (mwin_ref[3:4, sl]
+                                 + res[7:8] + res[8:9] + res[9:10])
+            mwin_ref[4:5, sl] = (mwin_ref[4:5, sl]
+                                 + res[10:11] + res[11:12] + res[12:13])
 
     # update carries from the chunk tail
     new_ord = carry_ord + cum_first[k - 1, 0].astype(jnp.int32)
@@ -264,14 +277,15 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
             lambda base: base < p_pad, flush, win_base)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_pts", "n_f", "p_budget", "hw", "interpret"))
-def emit_pillar_table(gid_sorted, pts_sorted, n_pts: int, n_f: int,
-                      p_budget: int, hw: int, interpret: bool | None = None):
-    """gid_sorted (B, M) int32 ascending per sample (hw == invalid sentinel),
-    pts_sorted (B, M, F) the matching payload ->
-      table (B, P_pad, n_pts, n_f) f32  (P_pad = P rounded up to _WHALF)
-      meta  (B, 8, P_pad) f32: row 0 = kept-point count, row 1 = pillar id.
+def emit_table_flat(gid_sorted, pts_sorted, n_pts: int, n_f: int,
+                    p_budget: int, hw: int, interpret: bool | None = None):
+    """Raw kernel outputs, un-reshaped:
+      table (B*P_pad, lanes) f32 — row r = pillar r's points at lanes
+        rank*n_f + f (lanes = n_pts*n_f padded to a 128 multiple);
+      meta  (B*8, P_pad) f32 — rows per sample: 0 kept-point count,
+        1 pillar id, 2-4 kept-point x/y/z sums, 5-7 spare.
+    The fused decoration-free PFN (ops/fused_pfn.py) consumes these
+    directly; emit_pillar_table reshapes them into the padded table view.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -316,6 +330,23 @@ def emit_pillar_table(gid_sorted, pts_sorted, n_pts: int, n_f: int,
         interpret=interpret,
     )(gid_sorted.reshape(-1).astype(jnp.int32),
       pts_sorted.reshape(b * m_pad, n_f).astype(jnp.float32))
+    return table, meta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pts", "n_f", "p_budget", "hw", "interpret"))
+def emit_pillar_table(gid_sorted, pts_sorted, n_pts: int, n_f: int,
+                      p_budget: int, hw: int, interpret: bool | None = None):
+    """gid_sorted (B, M) int32 ascending per sample (hw == invalid sentinel),
+    pts_sorted (B, M, F) the matching payload ->
+      table (B, P_pad, n_pts, n_f) f32  (P_pad = P rounded up to _WHALF)
+      meta  (B, 8, P_pad) f32: row 0 = kept-point count, row 1 = pillar id,
+      rows 2-4 = kept-point x/y/z sums.
+    """
+    b = gid_sorted.shape[0]
+    table, meta = emit_table_flat(gid_sorted, pts_sorted, n_pts, n_f,
+                                  p_budget, hw, interpret=interpret)
+    p_pad = meta.shape[1]
     table = table[:, : n_pts * n_f]
     return (table.reshape(b, p_pad, n_pts, n_f),
             meta.reshape(b, _META, p_pad))
@@ -349,15 +380,14 @@ def pillarize_batch_auto(points, num_points,
     return pillarize_batch_emit(points, num_points, config)
 
 
-def pillarize_batch_emit(points, num_points, config: PillarsConfig,
-                         interpret: bool | None = None) -> PillarBatch:
-    """Drop-in for ``pillarize_batch`` built on the window-emit kernel:
-    identical canonical semantics (ops/voxelize.py docstring), bit-identical
-    PillarBatch fields. One per-sample multi-operand sort replaces the
-    argsort + payload gather; the kernel replaces every scatter.
+def sort_points_by_pillar(points, num_points, config: PillarsConfig):
+    """(B, M, F) points -> (gid_sorted (B, M) int32 ascending per sample
+    with H*W as the invalid sentinel, pts_sorted (B, M, F)).
+
+    One stable per-sample multi-operand sort carrying the payload through
+    the comparator network (beats argsort + a separate 524k-row gather on
+    v5e). The shared front half of every emit-kernel consumer.
     """
-    P = config.max_pillars
-    N = config.max_points_per_pillar
     W, H = config.grid_w, config.grid_h
     B, M, F = points.shape
     HW = H * W
@@ -374,14 +404,26 @@ def pillarize_batch_emit(points, num_points, config: PillarsConfig,
     valid = alive & in_range
     pid = jnp.where(valid, row * W + col, HW)
 
-    # stable per-sample sort carrying the payload through the comparator
-    # network (beats argsort + a separate 524k-row gather on v5e)
     operands = [pid] + [points[..., f] for f in range(F)]
     sorted_ops = jax.lax.sort(operands, dimension=-1, is_stable=True,
                               num_keys=1)
-    gid_s = sorted_ops[0]
-    pts_s = jnp.stack(sorted_ops[1:], axis=-1)
+    return sorted_ops[0], jnp.stack(sorted_ops[1:], axis=-1)
 
+
+def pillarize_batch_emit(points, num_points, config: PillarsConfig,
+                         interpret: bool | None = None) -> PillarBatch:
+    """Drop-in for ``pillarize_batch`` built on the window-emit kernel:
+    identical canonical semantics (ops/voxelize.py docstring), bit-identical
+    PillarBatch fields. One per-sample multi-operand sort replaces the
+    argsort + payload gather; the kernel replaces every scatter.
+    """
+    P = config.max_pillars
+    N = config.max_points_per_pillar
+    W, H = config.grid_w, config.grid_h
+    B, M, F = points.shape
+    HW = H * W
+
+    gid_s, pts_s = sort_points_by_pillar(points, num_points, config)
     table, meta = emit_pillar_table(gid_s, pts_s, N, F, P, HW,
                                     interpret=interpret)
     raw = table[:, :P]                                        # (B, P, N, F)
