@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""GT-database sampling ablation: does paste-injecting a rare class during
+training improve that class's AP? (VERDICT round-2 item 8's demonstration.)
+
+Controlled synthetic setup: the training pool is mostly car-only scenes;
+pedestrians appear in just 2 of 12 scenes. The GT sampler injects stored
+pedestrians into every scene (collision-checked). Both runs train the same
+steps on the same seeds; eval is on held-out scenes containing both
+classes.
+
+    python scripts/gt_sampling_ablation.py --steps 2000 --cpu
+
+Measured (CPU backend, tiny config, seed 0, 2026-08-17):
+  600 steps: neither run learns much (car AP 0.007 vs 0.089) — too short.
+  2000 steps: pedestrian AP 0.000 -> 0.215 with sampling (car 0.033 ->
+  0.047): the rare class is unlearnable from 3 instances without
+  augmentation and clearly learnable with it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--target", type=int, default=3,
+                   help="per-scene pedestrian target for the sampler")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.data.gt_sampler import (
+        GTDatabase, GTSampleConfig, GTSampler,
+    )
+    from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.evaluation.map_eval import EvalBox, lyft_map
+    from tpu_pillars.train import (
+        TrainBatch, TrainConfig, create_train_state,
+    )
+    from tpu_pillars.train.loop import fit
+
+    cfg = tiny_config()
+    CAR, PED = 0, 7
+    rng = np.random.default_rng(args.seed)
+
+    # training pool: cars everywhere, pedestrians in only 2/12 scenes
+    train_scenes = [make_scene(rng, cfg, num_objects=3,
+                               points_per_object=200, clutter=300,
+                               class_subset=[CAR]) for _ in range(10)]
+    train_scenes += [make_scene(rng, cfg, num_objects=3,
+                                points_per_object=200, clutter=300,
+                                class_subset=[CAR, PED]) for _ in range(2)]
+    n_ped = sum(int((s.gt_classes == PED).sum()) for s in train_scenes)
+    print(f"train pool: {len(train_scenes)} scenes, "
+          f"{sum(len(s.gt_boxes) for s in train_scenes)} boxes, "
+          f"{n_ped} pedestrians")
+
+    eval_rng = np.random.default_rng(args.seed + 1000)
+    eval_scenes = [make_scene(eval_rng, cfg, num_objects=4,
+                              points_per_object=200, clutter=300,
+                              class_subset=[CAR, PED]) for _ in range(6)]
+
+    db = GTDatabase.from_scenes(train_scenes, cfg.num_classes)
+    print(f"gt database per-class counts: {db.counts()}")
+
+    def batches(sampler, seed):
+        brng = np.random.default_rng(seed)
+        while True:
+            idx = brng.choice(len(train_scenes), args.batch, replace=False)
+            scenes = [train_scenes[i] for i in idx]
+            if sampler is not None:
+                aug = []
+                for s in scenes:
+                    pts, gb, gc = sampler(brng, s.points, s.gt_boxes,
+                                          s.gt_classes, max_total=8)
+                    aug.append(type(s)(pts, gb, gc, []))
+                scenes = aug
+            yield TrainBatch(*scenes_to_train_batch(scenes, cfg, 8))
+
+    def run(label, sampler):
+        tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
+                           batch_size=args.batch, max_gt_boxes=8)
+        state = create_train_state(cfg, tcfg,
+                                   rng_key=jax.random.PRNGKey(args.seed))
+        state = fit(state, batches(sampler, args.seed + 7), steps=args.steps,
+                    config=cfg, log_every=max(args.steps // 4, 1))
+        det = Detector(cfg, state.variables)
+        gt, preds = [], []
+        for i, scene in enumerate(eval_scenes):
+            tok = f"e{i}"
+            for b, c in zip(scene.gt_boxes, scene.gt_classes):
+                gt.append(EvalBox(tok, cfg.class_names[c],
+                                  np.asarray(b, np.float64)))
+            for box in det.predict(scene.points, token=tok):
+                preds.append(EvalBox.from_box3d(box))
+        mAP, table = lyft_map(gt, preds, cfg.class_names,
+                              iou_thresholds=(0.3, 0.5))
+        ped_ap = (table[0.3][PED] + table[0.5][PED]) / 2
+        car_ap = (table[0.3][CAR] + table[0.5][CAR]) / 2
+        print(f"{label}: mAP(0.3,0.5)={mAP:.3f}  "
+              f"car AP={car_ap:.3f}  pedestrian AP={ped_ap:.3f}")
+        return ped_ap, car_ap
+
+    ped_base, car_base = run("baseline (no sampling)  ", None)
+    sampler = GTSampler(db, GTSampleConfig(
+        target_per_class={PED: args.target}))
+    ped_gts, car_gts = run(f"gt-sampling (target {args.target})", sampler)
+    print(f"\npedestrian AP: {ped_base:.3f} -> {ped_gts:.3f} "
+          f"({'+' if ped_gts >= ped_base else ''}{ped_gts - ped_base:.3f}); "
+          f"car AP: {car_base:.3f} -> {car_gts:.3f}")
+
+
+if __name__ == "__main__":
+    main()
