@@ -52,6 +52,36 @@ def test_jitted_pipeline_matches_cpu_reference(rng):
         assert abs((g.yaw - r.yaw + np.pi) % (2 * np.pi) - np.pi) < 5e-3
 
 
+def test_host_crop_and_buckets_bit_equal(rng):
+    # host-side range crop and bucketed upload shapes must not change a
+    # single box bit: the crop mirrors the device validity predicate and
+    # buckets only change padding rows
+    cfg = CFG
+    variables = _init_variables(cfg)
+    det_plain = Detector(cfg, variables, host_crop=False)
+    det_crop = Detector(cfg, variables)          # host_crop default on
+    det_buck = Detector(cfg, variables,
+                        wire_buckets=(1024, cfg.max_points))
+
+    scene = make_scene(rng, cfg, num_objects=4, clutter=600)
+    # salt with far out-of-range points that the crop removes
+    far = rng.uniform(500, 900, (300, 4)).astype(np.float32)
+    cloud = np.concatenate([scene.points, far], axis=0)
+
+    want = np.asarray(det_plain.predict_packed(cloud))
+    got_crop = np.asarray(det_crop.predict_packed(cloud))
+    np.testing.assert_array_equal(got_crop, want)
+
+    padded, n = det_buck.pad_points(scene.points[:700])
+    assert padded.shape[0] == 1024          # smallest fitting bucket
+    got_buck = np.asarray(det_buck.predict_packed(scene.points[:700]))
+    want_small = np.asarray(det_plain.predict_packed(scene.points[:700]))
+    np.testing.assert_array_equal(got_buck, want_small)
+
+    with pytest.raises(ValueError, match="max_points"):
+        Detector(cfg, variables, wire_buckets=(1024, 2048))
+
+
 def test_batched_predict_matches_single(rng):
     cfg = CFG
     variables = _init_variables(cfg)

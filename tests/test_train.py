@@ -248,6 +248,39 @@ def test_checkpoint_config_fingerprint(tmp_path, rng):
     restore_checkpoint(path, state, config=other)
 
 
+def test_remat_train_step_bit_equal(rng):
+    # remat recomputes instead of saving — the step must produce BIT-EQUAL
+    # losses and parameters (same ops, re-executed)
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+    from tpu_pillars.train import (TrainBatch, TrainConfig, create_train_state,
+                                   make_train_step)
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=10)
+    scenes = [make_scene(rng, cfg, num_objects=4, points_per_object=120,
+                         clutter=300) for _ in range(2)]
+    batch = TrainBatch(*scenes_to_train_batch(scenes, cfg, tcfg.max_gt_boxes))
+
+    outs = []
+    for remat in (False, True):
+        state = create_train_state(cfg, tcfg, rng_key=jax.random.PRNGKey(3))
+        step = jax.jit(make_train_step(cfg, remat=remat))
+        for _ in range(2):
+            state, losses = step(state, batch)
+        outs.append((state, losses))
+    (s0, l0), (s1, l1) = outs
+    assert float(l0.total) == float(l1.total)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # param tree structure unchanged (checkpoint compatibility)
+    assert (jax.tree_util.tree_structure(s0.params)
+            == jax.tree_util.tree_structure(s1.params))
+
+
 def test_detector_from_checkpoint_config_fingerprint(tmp_path, rng):
     # the inference-side restore applies the same fingerprint guard as
     # restore_checkpoint: wrong config -> clear error, right config -> loads

