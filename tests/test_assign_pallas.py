@@ -1,0 +1,148 @@
+"""Windowed Pallas target assigner vs the dense class-blocked assigner.
+
+Bit-identity between the two is impossible (XLA's context-dependent fma
+fusion shifts IoUs by ulps — see the module docstring), so these tests pin
+the honest contract: per-anchor agreement everywhere except a tiny boundary
+set, with every flip explained by a threshold crossing or argmax tie within
+float tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pillars.config import tiny_config
+from tpu_pillars.ops.assign_pallas import make_windowed_assigner
+from tpu_pillars.ops.target_assigner import make_classwise_assigner
+
+CFG = tiny_config()
+
+
+def _dense(gt, cls, valid):
+    assign = jax.vmap(make_classwise_assigner(CFG))
+    return assign(jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(valid))
+
+
+def _windowed(gt, cls, valid):
+    assign = make_windowed_assigner(CFG, interpret=True)
+    return assign(jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(valid))
+
+
+def _compare(gt, cls, valid, max_flip_frac=1e-3):
+    got = _windowed(gt, cls, valid)
+    want = _dense(gt, cls, valid)
+
+    pos_g = np.asarray(got.reg_weights) > 0
+    pos_w = np.asarray(want.reg_weights) > 0
+    flip = pos_g != pos_w
+    assert flip.mean() <= max_flip_frac, flip.mean()
+
+    # the same anchor's one-hot/dir/weights must agree wherever pos agrees
+    # AND the assigned gt agrees (cls_onehot equality captures class; reg
+    # equality captures the box) — compare everything off the flip set
+    stable = ~flip
+    # assigned-gt ties can flip reg targets at equal IoU: fold anchors
+    # whose reg targets disagree materially into the boundary set too
+    reg_g = np.asarray(got.reg_targets)
+    reg_w = np.asarray(want.reg_targets)
+    reg_diff = (np.abs(reg_g - reg_w).max(axis=1) > 1e-4) & stable & pos_g
+    boundary = flip | reg_diff
+    assert boundary.mean() <= max_flip_frac, boundary.mean()
+    ok = ~boundary
+
+    np.testing.assert_allclose(reg_g * ok[:, None, :],
+                               reg_w * ok[:, None, :], atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(got.dir_targets) * ok, np.asarray(want.dir_targets) * ok)
+    np.testing.assert_array_equal(
+        np.asarray(got.cls_onehot) * ok[:, None, :],
+        np.asarray(want.cls_onehot) * ok[:, None, :])
+    cw_g = np.asarray(got.cls_weights)
+    cw_w = np.asarray(want.cls_weights)
+    assert ((cw_g != cw_w) & ok).mean() <= max_flip_frac
+    assert abs(float(np.asarray(got.num_pos).sum())
+               - float(np.asarray(want.num_pos).sum())) <= \
+        max(4, flip.sum())
+    return got, want
+
+
+def _random_gt(rng, b, g, cfg=CFG):
+    gt = np.zeros((b, g, 7), np.float32)
+    cls = rng.integers(0, cfg.num_classes, (b, g)).astype(np.int32)
+    valid = rng.random((b, g)) < 0.8
+    for i in range(b):
+        for j in range(g):
+            spec = cfg.classes[cls[i, j]]
+            gt[i, j] = [
+                rng.uniform(cfg.x_min, cfg.x_max),
+                rng.uniform(cfg.y_min, cfg.y_max),
+                spec.z_center,
+                spec.width * rng.uniform(0.8, 1.25),
+                spec.length * rng.uniform(0.8, 1.25),
+                spec.height,
+                rng.uniform(-np.pi, np.pi),
+            ]
+    return gt, cls, valid
+
+
+def test_windowed_matches_dense_random(rng):
+    gt, cls, valid = _random_gt(rng, 2, 12)
+    got, want = _compare(gt, cls, valid)
+    # sanity: this scenario actually produces positives
+    assert float(np.asarray(want.num_pos).sum()) > 0
+
+
+def test_windowed_matches_dense_crowded_and_edges(rng):
+    # many same-class boxes stacked near one spot + boxes at/beyond the
+    # grid edges (windows clamp; out-of-range GT must behave like dense)
+    b, g = 1, 16
+    gt = np.zeros((b, g, 7), np.float32)
+    cls = np.zeros((b, g), np.int32)
+    valid = np.ones((b, g), bool)
+    for j in range(10):           # crowd of cars around (3, -2)
+        gt[0, j] = [3 + 0.4 * j, -2 + 0.2 * j, -1.0, 1.9, 4.7, 1.7,
+                    0.2 * j]
+    gt[0, 10] = [CFG.x_min, CFG.y_min, -1.0, 1.9, 4.7, 1.7, 0.0]
+    gt[0, 11] = [CFG.x_max - 0.01, CFG.y_max - 0.01, -1.0, 1.9, 4.7, 1.7,
+                 1.2]
+    gt[0, 12] = [CFG.x_max + 30, 0.0, -1.0, 1.9, 4.7, 1.7, 0.0]  # outside
+    cls[0, 13] = 2                # a different class elsewhere
+    gt[0, 13] = [-5, 6, -0.1, 2.9, 12.3, 3.4, -0.7]
+    gt[0, 14] = [0, 0, -1.0, 1.9, 4.7, 1.7, 0.0]
+    valid[0, 15] = False
+    _compare(gt, cls, valid)
+
+
+def test_windowed_matches_dense_identical_boxes_tiebreak(rng):
+    # exact duplicate GT boxes: both paths must produce a valid assignment;
+    # agreement off the (tie-heavy) boundary set
+    b, g = 1, 4
+    gt = np.zeros((b, g, 7), np.float32)
+    cls = np.zeros((b, g), np.int32)
+    valid = np.ones((b, g), bool)
+    gt[0, 0] = [2.25, 1.75, -1.0, 1.9, 4.7, 1.7, 0.5]
+    gt[0, 1] = gt[0, 0]
+    gt[0, 2] = [2.25, 1.75, -1.0, 1.9, 4.7, 1.7, 0.5 + np.pi]  # same quad
+    gt[0, 3] = [-8, -8, -1.0, 1.9, 4.7, 1.7, 0.0]
+    _compare(gt, cls, valid, max_flip_frac=3e-3)
+
+
+def test_windowed_empty_and_all_invalid(rng):
+    gt = np.zeros((2, 8, 7), np.float32)
+    cls = np.zeros((2, 8), np.int32)
+    valid = np.zeros((2, 8), bool)
+    got = _windowed(gt, cls, valid)
+    want = _dense(gt, cls, valid)
+    for name, a, b in zip(got._fields, got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert float(np.asarray(got.num_pos).sum()) == 0.0
+
+
+def test_windowed_deterministic(rng):
+    # the kernel itself is deterministic run-to-run
+    gt, cls, valid = _random_gt(rng, 1, 8)
+    a = _windowed(gt, cls, valid)
+    b = _windowed(gt, cls, valid)
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)

@@ -1,0 +1,381 @@
+"""Windowed Pallas target assigner (VERDICT r2 item 2; SURVEY.md section 2
+'Target assigner').
+
+The dense class-blocked assigner computes rotated BEV IoU for EVERY
+(gt, anchor) pair of each class — sum_c 16 x ~80k pairs x ~400 VPU flops,
+74 ms of the 266 ms batch-4 train step — although a GT's IoU is provably
+zero outside the circumradius bound |d| <= r_gt + r_anchor (a few cells).
+The XLA banded attempt (ops/target_assigner.py band_cells) lost to
+vmapped-dynamic_slice gather lowering (122 ms). This kernel does the
+windowing the Pallas way: a sequential grid over REAL anchor-plane blocks,
+each block statically sliced by its BlockSpec, with the per-GT work
+predicated on an exact block-level circumradius test —
+
+    grid = (B, C, row_blocks, lane_blocks); block = (BR, BL) anchors of
+    one class's (Hf, Wf*Y) plane;
+    for each of the Gc (static) GT slots: a scalar test "could this GT
+    touch any anchor in this block" (center distance vs summed
+    circumradii against the block's center bounding rect, + one stride of
+    slack) gates the ~400-flop IoU row — blocks far from every GT run
+    zero vector work;
+    the anchor-side running (best_iou, best_gt) lives in the block's own
+    output refs; the GT-side (best anchor value, index) rides an SMEM
+    carry across the class's sequential blocks with the dense argmax's
+    exact first-index tie-break.
+
+Anchor geometry (corners, centers, areas, circumradii) is a compile-time
+constant: precomputed as 12 planes per class, padded to (Hf_pad, L) tiles
+with far-away dummy anchors whose pairs the in-kernel disjoint gate kills
+exactly.
+
+Equivalence: identical FORMULAS to the dense path (ops/iou.py
+_half_edge_integral with the same per-pair recentering, the same disjoint
+gate, clamps, thresholds and tie-breaks). Bit-identity is NOT attainable —
+XLA fuses a*b + c*d into fma() differently depending on the surrounding
+program (measured: the same jnp IoU formula in the dense program vs this
+kernel's interpret lowering differs by ulps on CPU), so anchors whose best
+IoU sits within ulps of a matching threshold, and exact argmax ties whose
+values differ by ulps, can resolve differently. tests/test_assign_pallas.py
+therefore pins: IoU values to 2e-5, and Targets equal everywhere except a
+<=0.1% boundary set where each flip is explained by a threshold or tie
+within tolerance. (The dense path itself carries the same caveat across
+XLA versions — see the fma note in ops/iou.py:92.)
+
+Measured v5e (batch 4 full config): see module history / README perf notes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.geometry.boxes import box_corners_bev
+from tpu_pillars.ops.box_coder import encode_boxes
+from tpu_pillars.ops.iou import _EPS, _half_edge_integral, corners_bev_jax
+from tpu_pillars.ops.target_assigner import Targets, group_gt_by_class
+
+_BR = 16      # anchor-plane rows per block
+_BL = 128     # anchor-plane lanes per block (cells * yaws)
+_BIG = float(2 ** 30)
+
+
+@functools.lru_cache(maxsize=8)
+def _anchor_planes(config: PillarsConfig):
+    """Static per-class anchor geometry planes.
+
+    Returns (planes (C, 12, Hf_pad, L) f32, r_cls (C,) f32, Hf_pad, L).
+    Plane rows: 0-3 corner xs, 4-7 corner ys, 8 center x, 9 center y,
+    10 BEV area, 11 circumradius. Padding anchors sit 1e7 m away.
+    """
+    from tpu_pillars.ops.anchors import make_anchors
+
+    C = config.num_classes
+    Y = len(config.anchor_yaws)
+    Hf, Wf = config.feature_h, config.feature_w
+    anchors, _ = make_anchors(config)                     # (A, 7)
+    by_class = (anchors.reshape(Hf, Wf, C, Y, 7)
+                .transpose(2, 0, 1, 3, 4)
+                .reshape(C, Hf, Wf * Y, 7))
+    Hf_pad = ((Hf + _BR - 1) // _BR) * _BR
+    L = ((Wf * Y + _BL - 1) // _BL) * _BL
+    full = np.zeros((C, Hf_pad, L, 7), np.float32)
+    full[..., 0] = 1e7                                    # far dummy centers
+    full[..., 1] = 1e7
+    full[..., 3] = 1.0                                    # unit dummy boxes
+    full[..., 4] = 1.0
+    full[:, :Hf, : Wf * Y] = by_class
+    flat = full.reshape(-1, 7)
+    corners = box_corners_bev(flat).astype(np.float32)    # (N, 4, 2)
+    planes = np.empty((C, 12, Hf_pad, L), np.float32)
+    cs = corners.reshape(C, Hf_pad, L, 4, 2)
+    for k in range(4):
+        planes[:, k] = cs[..., k, 0]
+        planes[:, 4 + k] = cs[..., k, 1]
+    planes[:, 8] = full[..., 0]
+    planes[:, 9] = full[..., 1]
+    planes[:, 10] = full[..., 3] * full[..., 4]
+    planes[:, 11] = 0.5 * np.sqrt(full[..., 3] ** 2 + full[..., 4] ** 2)
+    r_cls = np.asarray(
+        [0.5 * np.hypot(c.width, c.length) for c in config.classes],
+        np.float32)
+    return planes, r_cls, Hf_pad, L
+
+
+def _iou_row(g, planes):
+    """One GT (list of 12 payload scalars) vs a (BR, BL) anchor block ->
+    (BR, BL) rotated BEV IoU. Mirrors ops.iou.rotated_iou_bev's arithmetic
+    exactly (same recentering, gates, clamps)."""
+    gpx = [g[k] for k in range(4)]
+    gpy = [g[4 + k] for k in range(4)]
+    apx = [planes[k] for k in range(4)]
+    apy = [planes[4 + k] for k in range(4)]
+
+    midx = 0.125 * (gpx[0] + gpx[1] + gpx[2] + gpx[3]
+                    + apx[0] + apx[1] + apx[2] + apx[3])
+    midy = 0.125 * (gpy[0] + gpy[1] + gpy[2] + gpy[3]
+                    + apy[0] + apy[1] + apy[2] + apy[3])
+    gcx = [x - midx for x in gpx]
+    gcy = [y - midy for y in gpy]
+    acx = [x - midx for x in apx]
+    acy = [y - midy for y in apy]
+    inter = (_half_edge_integral(gcx, gcy, acx, acy)
+             + _half_edge_integral(acx, acy, gcx, gcy))
+    inter = jnp.maximum(inter, 0.0)
+
+    dx = g[8] - planes[8]
+    dy = g[9] - planes[9]
+    rr = g[11] + planes[11]
+    inter = jnp.where(dx * dx + dy * dy > rr * rr, 0.0, inter)
+    a1 = g[10]
+    a2 = planes[10]
+    inter = jnp.minimum(inter, jnp.minimum(a1, a2))
+    union = jnp.maximum(a1 + a2 - inter, _EPS)
+    return jnp.clip(inter / union, 0.0, 1.0)
+
+
+def _assign_kernel(gt_ref, planes_ref, rcls_ref, best_ref, bestg_ref,
+                   gtbest_ref, carry_ref, *, gc: int, lanes: int,
+                   yaws: int, x_min: float, y_min: float, stride_x: float,
+                   stride_y: float, slack: float):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    last = (i == pl.num_programs(2) - 1) & (j == pl.num_programs(3) - 1)
+    planes = planes_ref[0]                                # (12, BR, BL)
+    r_a = rcls_ref[0, 0]                                  # class circumradius
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for g in range(gc):
+            carry_ref[0, g] = -1.0                        # gt best value
+            carry_ref[1, g] = _BIG                        # gt best index
+
+    best_ref[0, 0] = jnp.full((_BR, _BL), -1.0, jnp.float32)
+    bestg_ref[0, 0] = jnp.zeros((_BR, _BL), jnp.float32)
+
+    # block anchor-center bounding rect (f32 scalars; the in-row IoU
+    # re-checks the exact per-anchor disjoint gate, so this only needs to
+    # be conservative — `slack` absorbs the f32 scalar rounding)
+    y_lo = y_min + (i * _BR + 0.5) * stride_y
+    y_hi = y_min + (i * _BR + _BR - 0.5) * stride_y
+    cell_lo = jax.lax.div(j * _BL, yaws)
+    cell_hi = jax.lax.div((j + 1) * _BL - 1, yaws)
+    x_lo = x_min + (cell_lo.astype(jnp.float32) + 0.5) * stride_x
+    x_hi = x_min + (cell_hi.astype(jnp.float32) + 0.5) * stride_x
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_BR, _BL), 0) + i * _BR
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_BR, _BL), 1) + j * _BL
+    idxp = (row_iota * lanes + lane_iota).astype(jnp.float32)
+
+    for g in range(gc):
+        valid = gt_ref[0, 0, g, 12]
+        gx = gt_ref[0, 0, g, 8]
+        gy = gt_ref[0, 0, g, 9]
+        gr = gt_ref[0, 0, g, 11]
+        rr = gr + r_a + slack
+        dxm = jnp.maximum(jnp.maximum(x_lo - gx, gx - x_hi), 0.0)
+        dym = jnp.maximum(jnp.maximum(y_lo - gy, gy - y_hi), 0.0)
+        hit = (valid > 0.0) & (dxm * dxm + dym * dym <= rr * rr)
+
+        @pl.when(hit)
+        def _(g=g):
+            gsc = [gt_ref[0, 0, g, k] for k in range(12)]
+            row = _iou_row(gsc, planes)                   # (BR, BL)
+            prev = best_ref[0, 0]
+            upd = row > prev                              # strict: first g
+            best_ref[0, 0] = jnp.where(upd, row, prev)
+            bestg_ref[0, 0] = jnp.where(upd, jnp.float32(g), bestg_ref[0, 0])
+            m = jnp.max(row)
+            mi = jnp.min(jnp.where(row == m, idxp, _BIG))
+            cv = carry_ref[0, g]
+            ci = carry_ref[1, g]
+            better = (m > cv) | ((m == cv) & (mi < ci))
+
+            @pl.when(better)
+            def _():
+                carry_ref[0, g] = m
+                carry_ref[1, g] = mi
+
+    @pl.when(last)
+    def _():
+        # vector-assemble the (8, 128) gt-side output from the SMEM carry
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        acc = jnp.full((8, 128), -1.0, jnp.float32)
+        for g in range(gc):
+            sel = cols == g
+            acc = jnp.where(sel & (rows == 0), carry_ref[0, g], acc)
+            acc = jnp.where(sel & (rows == 1), carry_ref[1, g], acc)
+        gtbest_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_gt_per_class",
+                                             "interpret"))
+def windowed_best_iou(gt_c, gv_c, config: PillarsConfig,
+                      max_gt_per_class: int = 16,
+                      interpret: bool | None = None):
+    """Per-class best-IoU maps via the windowed kernel.
+
+    gt_c (B, C, Gc, 7) class-grouped GT, gv_c (B, C, Gc) validity ->
+      best_iou (B, C, Ac) f32   (Ac = Hf*Wf*Y, class-block layout),
+      best_gt  (B, C, Ac) int32,
+      gt_best_iou (B, C, Gc) f32, gt_best_anchor (B, C, Gc) int32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    planes_np, r_cls, Hf_pad, L = _anchor_planes(config)
+    B, C, Gc, _ = gt_c.shape
+    Y = len(config.anchor_yaws)
+    Hf, Wf = config.feature_h, config.feature_w
+    stride_x = config.voxel_x * config.head_stride
+    stride_y = config.voxel_y * config.head_stride
+    # block bounds are exact up to f32 scalar rounding; one stride of slack
+    # keeps the test safely conservative (the per-anchor disjoint gate
+    # inside the row is the exact authority)
+    slack = float(stride_x + stride_y)
+
+    # GT payload: corners(8), center(2), area, circumradius, valid -> 16
+    corners = corners_bev_jax(gt_c)                       # (B, C, Gc, 4, 2)
+    area = gt_c[..., 3] * gt_c[..., 4]
+    circ = 0.5 * jnp.sqrt(gt_c[..., 3] ** 2 + gt_c[..., 4] ** 2)
+    payload = jnp.concatenate([
+        corners[..., 0], corners[..., 1],
+        gt_c[..., 0:1], gt_c[..., 1:2], area[..., None], circ[..., None],
+        gv_c[..., None].astype(jnp.float32),
+        jnp.zeros_like(gt_c[..., :3]),
+    ], axis=-1)                                           # (B, C, Gc, 16)
+
+    planes = jnp.asarray(planes_np)
+    rb = Hf_pad // _BR
+    cb = L // _BL
+
+    kernel = functools.partial(
+        _assign_kernel, gc=Gc, lanes=L, yaws=Y,
+        x_min=config.x_min, y_min=config.y_min,
+        stride_x=stride_x, stride_y=stride_y, slack=slack)
+
+    best, bestg, gtbest = pl.pallas_call(
+        kernel,
+        grid=(B, C, rb, cb),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gc, 16), lambda b, c, i, j: (b, c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 12, _BR, _BL), lambda b, c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, c, i, j: (c, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, _BR, _BL), lambda b, c, i, j: (b, c, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _BR, _BL), lambda b, c, i, j: (b, c, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, c, i, j: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C, Hf_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, Hf_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((2, max(Gc, 8)), jnp.float32)],
+        interpret=interpret,
+    )(payload, planes, jnp.asarray(r_cls)[:, None])
+
+    best = best[:, :, :Hf, : Wf * Y].reshape(B, C, Hf * Wf * Y)
+    bestg = bestg[:, :, :Hf, : Wf * Y].reshape(B, C, Hf * Wf * Y)
+    gt_val = gtbest[:, :, 0, :Gc]
+    gt_idx = gtbest[:, :, 1, :Gc]
+    # kernel-linear index (row * L + lane) -> class-block index
+    row = (gt_idx // L).astype(jnp.int32)
+    lane = (gt_idx - row.astype(jnp.float32) * L).astype(jnp.int32)
+    gt_anchor = row * (Wf * Y) + lane
+    gt_anchor = jnp.where(gt_idx >= _BIG, 0, gt_anchor)
+    return best, bestg.astype(jnp.int32), gt_val, gt_anchor
+
+
+def make_windowed_assigner(config: PillarsConfig, max_gt_per_class: int = 16,
+                           interpret: bool | None = None):
+    """Natively batched drop-in for vmap(make_classwise_assigner(config)):
+    assign(gt_boxes (B, G, 7), gt_cls (B, G), gt_valid (B, G)) -> Targets
+    with leading batch dim. The IoU/argmax tier runs in the windowed Pallas
+    kernel; thresholds, force-match, encoding and layout stay XLA (they are
+    O(A), not O(A x G))."""
+    C = config.num_classes
+    Y = len(config.anchor_yaws)
+    Hf, Wf = config.feature_h, config.feature_w
+    HW = Hf * Wf
+    A = config.num_anchors
+    from tpu_pillars.ops.anchors import make_anchors
+
+    anchors_np, anchor_cls_np = make_anchors(config)
+    anchors_by_class = jnp.asarray(
+        anchors_np.reshape(HW, C, Y, 7).transpose(1, 0, 2, 3)
+        .reshape(C, HW * Y, 7))
+    matched_thr = jnp.asarray([c.matched_iou for c in config.classes])
+    unmatched_thr = jnp.asarray([c.unmatched_iou for c in config.classes])
+
+    def finish_one(best_iou, best_gt, gt_val, gt_anchor, gt_c, gv_c):
+        """Per-sample epilogue — mirrors target_assigner.assign_one after
+        its IoU block, on (C, Ac) arrays."""
+        def per_class(iou_b, gtb, gval, ganc, gtc, gvc, m_thr, u_thr,
+                      anchors_c):
+            Ac = iou_b.shape[0]
+            Gc = gtc.shape[0]
+            pos = iou_b >= m_thr
+            claim = gvc & (gval > 0.0)
+            forced = jnp.zeros((Ac,), bool).at[ganc].max(claim)
+            forced_gt = jnp.full((Ac,), -1, jnp.int32).at[ganc].max(
+                jnp.where(claim, jnp.arange(Gc, dtype=jnp.int32), -1))
+            pos = pos | forced
+            neg = (iou_b < u_thr) & ~pos
+            assigned = jnp.where(forced & (forced_gt >= 0), forced_gt, gtb)
+            matched = jnp.where(pos[:, None], gtc[assigned], anchors_c)
+            reg = encode_boxes(matched, anchors_c)
+            dirt = (matched[:, 6] > 0.0).astype(jnp.int32) * pos
+            return pos, neg, reg, dirt
+
+        return jax.vmap(per_class)(
+            best_iou, best_gt, gt_val, gt_anchor, gt_c, gv_c,
+            matched_thr, unmatched_thr, anchors_by_class)
+
+    def assign(gt_boxes, gt_cls, gt_valid) -> Targets:
+        B = gt_boxes.shape[0]
+        gt_c, gv_c = jax.vmap(
+            lambda b, c, v: group_gt_by_class(b, c, v, C, max_gt_per_class)
+        )(gt_boxes, gt_cls, gt_valid)
+        best, bestg, gt_val, gt_anchor = windowed_best_iou(
+            gt_c, gv_c, config, max_gt_per_class, interpret=interpret)
+        pos_c, neg_c, reg_c, dir_c = jax.vmap(finish_one)(
+            best, bestg, gt_val, gt_anchor, gt_c, gv_c)
+
+        def unblock(x):  # (B, C, HW*Y, ...) -> (B, A, ...)
+            rest = x.shape[3:]
+            perm = (0, 2, 1, 3) + tuple(4 + i for i in range(len(rest)))
+            return (x.reshape((B, C, HW, Y) + rest).transpose(perm)
+                    .reshape((B, A) + rest))
+
+        pos = unblock(pos_c)
+        neg = unblock(neg_c)
+        reg = unblock(reg_c)
+        dirt = unblock(dir_c)
+        anchor_cls = jnp.asarray(anchor_cls_np)
+        cls_onehot = ((anchor_cls[None, None, :] == jnp.arange(C)[None, :, None])
+                      & pos[:, None, :]).astype(jnp.float32)   # (B, C, A)
+        return Targets(
+            cls_onehot=cls_onehot,
+            reg_targets=jnp.swapaxes(reg, 1, 2) * pos[:, None, :],
+            dir_targets=dirt * pos,
+            cls_weights=(pos | neg).astype(jnp.float32),
+            reg_weights=pos.astype(jnp.float32),
+            num_pos=jnp.sum(pos.astype(jnp.float32), axis=1),
+        )
+
+    return assign
