@@ -137,24 +137,40 @@ def main() -> None:
     from functools import partial
 
     from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_auto_pid
+    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
+    from tpu_pillars.ops.pfn_pallas import fold_bn
 
     pill_b = jax.jit(partial(pillarize_batch_auto, config=cfg))
     _, per_pill = _device_loop_rate(lambda p, n: pill_b(p, n).features,
                                     (d_pts, d_n), 8)
+    p_pfn = variables["params"]["pfn"]
+    bs_pfn = variables["batch_stats"]["pfn"]["bn"]
+    w_f, b_f = fold_bn(p_pfn["linear"]["kernel"], p_pfn["bn"]["scale"],
+                       p_pfn["bn"]["bias"], bs_pfn["mean"], bs_pfn["var"])
+
+    @jax.jit
+    def fused_front(p, n):
+        feats, pid, pm = pillarize_pfn_fused(p, n, w_f, b_f, cfg)
+        return scatter_to_bev_auto_pid(feats, pid, pm, cfg)
+
+    _, per_front = _device_loop_rate(fused_front, (d_pts, d_n), 8)
     o_b = det._model_batch(det.variables, d_pts, d_n)
     _, per_model = _device_loop_rate(
         lambda *o: det._model_batch(det.variables, d_pts, d_n)[0], o_b, 8)
     _, per_post = _device_loop_rate(
         lambda *o: det._post_packed_batch(*o), o_b, 8)
     results["stage_ms_batch8"] = {
-        "pillarize": round(per_pill * 1e3, 2),
-        "pillarize_plus_model": round(per_model * 1e3, 2),
+        "classic_pillarize_decorate": round(per_pill * 1e3, 2),
+        "fused_front_to_canvas": round(per_front * 1e3, 2),
+        "model_stage": round(per_model * 1e3, 2),
         "postprocess": round(per_post * 1e3, 2),
     }
     sys.stderr.write(
-        f"batch-8 stage times (amortized device): pillarize "
-        f"{per_pill*1e3:.1f} ms, pillarize+model stage "
-        f"{per_model*1e3:.1f} ms, decode+NMS {per_post*1e3:.1f} ms\n")
+        f"batch-8 stage times (amortized device): classic pillarize+"
+        f"decorate {per_pill*1e3:.1f} ms, fused front->canvas "
+        f"{per_front*1e3:.1f} ms, full model stage {per_model*1e3:.1f} ms, "
+        f"decode+NMS {per_post*1e3:.1f} ms\n")
 
     # --- BASELINE config #4: multi-sweep accumulated clouds (VERDICT item 5)
     import warnings

@@ -80,7 +80,10 @@ def test_pad_points_rejects_missing_dt():
 def test_pad_points_drops_extra_columns(rng):
     cfg = tiny_config()
     det = Detector(cfg, _variables(cfg))
-    pts = rng.normal(0, 5, (20, 5)).astype(np.float32)  # incl. ring column
+    # in-range xyz (host_crop is on by default) + intensity + a ring column
+    pts = np.stack([rng.uniform(-15, 15, 20), rng.uniform(-15, 15, 20),
+                    rng.uniform(-2, 2, 20), rng.uniform(0, 1, 20),
+                    rng.integers(0, 32, 20)], axis=1).astype(np.float32)
     padded, n = det.pad_points(pts)
     assert padded.shape == (cfg.max_points, 4)
     assert n == 20

@@ -141,7 +141,7 @@ def _iou_row(g, planes):
     return jnp.clip(inter / union, 0.0, 1.0)
 
 
-def _assign_kernel(gt_ref, planes_ref, rcls_ref, best_ref, bestg_ref,
+def _assign_kernel(gt_ref, planes_ref, best_ref, bestg_ref,
                    gtbest_ref, carry_ref, *, gc: int, lanes: int,
                    yaws: int, x_min: float, y_min: float, stride_x: float,
                    stride_y: float, slack: float):
@@ -149,7 +149,8 @@ def _assign_kernel(gt_ref, planes_ref, rcls_ref, best_ref, bestg_ref,
     j = pl.program_id(3)
     last = (i == pl.num_programs(2) - 1) & (j == pl.num_programs(3) - 1)
     planes = planes_ref[0]                                # (12, BR, BL)
-    r_a = rcls_ref[0, 0]                                  # class circumradius
+    r_a = gt_ref[0, 0, 0, 13]                             # class circumradius
+    # (payload col 13 — identical across the class's gt rows)
 
     @pl.when((i == 0) & (j == 0))
     def _():
@@ -245,11 +246,14 @@ def windowed_best_iou(gt_c, gv_c, config: PillarsConfig,
     corners = corners_bev_jax(gt_c)                       # (B, C, Gc, 4, 2)
     area = gt_c[..., 3] * gt_c[..., 4]
     circ = 0.5 * jnp.sqrt(gt_c[..., 3] ** 2 + gt_c[..., 4] ** 2)
+    rcls_col = jnp.broadcast_to(
+        jnp.asarray(r_cls)[None, :, None, None], (B, C, Gc, 1))
     payload = jnp.concatenate([
         corners[..., 0], corners[..., 1],
         gt_c[..., 0:1], gt_c[..., 1:2], area[..., None], circ[..., None],
         gv_c[..., None].astype(jnp.float32),
-        jnp.zeros_like(gt_c[..., :3]),
+        rcls_col,
+        jnp.zeros_like(gt_c[..., :2]),
     ], axis=-1)                                           # (B, C, Gc, 16)
 
     planes = jnp.asarray(planes_np)
@@ -269,8 +273,6 @@ def windowed_best_iou(gt_c, gv_c, config: PillarsConfig,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 12, _BR, _BL), lambda b, c, i, j: (c, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, c, i, j: (c, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, _BR, _BL), lambda b, c, i, j: (b, c, i, j),
@@ -287,7 +289,7 @@ def windowed_best_iou(gt_c, gv_c, config: PillarsConfig,
         ],
         scratch_shapes=[pltpu.SMEM((2, max(Gc, 8)), jnp.float32)],
         interpret=interpret,
-    )(payload, planes, jnp.asarray(r_cls)[:, None])
+    )(payload, planes)
 
     best = best[:, :, :Hf, : Wf * Y].reshape(B, C, Hf * Wf * Y)
     bestg = bestg[:, :, :Hf, : Wf * Y].reshape(B, C, Hf * Wf * Y)
