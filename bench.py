@@ -106,6 +106,11 @@ def main() -> None:
     sys.stderr.write(f"batch-{B} serving loop (host-to-host): {batch_rate:.2f} "
                      f"sweeps/s ({1e3 * dt_b / (reps * B):.1f} ms/sweep)\n")
 
+    # (An int16 fixed-point wire was measured r3 and kept OUT of this
+    # bench: this environment's tunnel fast-paths f32 buffers — the int16
+    # upload measured 3x SLOWER despite half the bytes — and its ~2 mm
+    # quantization rebins cell-border points, drifting boxes more than the
+    # opt-in contract promises. See Detector(wire_dtype=jnp.int16).)
     tpu_rate = max(tpu_rate, batch_rate)
 
     # --- p50 voxelize + NMS-stage latency (BASELINE.json metric) ---

@@ -82,6 +82,29 @@ def test_host_crop_and_buckets_bit_equal(rng):
         Detector(cfg, variables, wire_buckets=(1024, 2048))
 
 
+def test_int16_wire_near_exact(rng):
+    # int16 fixed-point wire: ~1 mm coordinate quantization at the tiny
+    # config's 20 m range — detections must match the f32 wire to tight
+    # tolerance (same boxes, same labels)
+    cfg = CFG
+    variables = _init_variables(cfg)
+    det32 = Detector(cfg, variables)
+    det16 = Detector(cfg, variables, wire_dtype=jnp.int16)
+    scene = make_scene(rng, cfg, num_objects=5, clutter=900)
+    ref = det32.predict(scene.points)
+    got = det16.predict(scene.points)
+    assert len(got) == len(ref) > 0
+    for g, r in zip(got, ref):
+        assert g.label == r.label
+        np.testing.assert_allclose(g.score, r.score, atol=2e-3)
+        np.testing.assert_allclose(g.center, r.center, atol=2e-2)
+        np.testing.assert_allclose(g.wlh, r.wlh, atol=2e-2)
+        assert abs((g.yaw - r.yaw + np.pi) % (2 * np.pi) - np.pi) < 2e-2
+    # the wire really is 2 bytes/channel
+    padded, _ = det16.pad_points(scene.points)
+    assert padded.dtype == np.int16
+
+
 def test_batched_predict_matches_single(rng):
     cfg = CFG
     variables = _init_variables(cfg)

@@ -137,7 +137,9 @@ def test_detector_fused_frontend_matches_classic(rng):
 
 
 def test_fold_decoration_algebra(rng):
-    # W_eff^T r + t == W^T d + b for a hand-built pillar
+    # cell-centered form: W_eff^T r' + t == W^T d + b for a hand-built
+    # pillar, with r' = [x - cx, y - cy, z, i] and t from the kernel's
+    # formula (b_row - mx'*w0 - my'*w1 - mz*w2 - cx*w3 - cy*w4)
     D, C = CFG.num_decorated_features, 8
     F = CFG.num_raw_features
     w = rng.normal(size=(D, C)).astype(np.float32)
@@ -150,8 +152,13 @@ def test_fold_decoration_algebra(rng):
         raw, raw[:, :3] - mean,
         np.stack([raw[:, 0] - cx, raw[:, 1] - cy], -1)], axis=1)
     want = dec @ w + b
-    t = (np.asarray(w_dec)[5] - mean[0] * np.asarray(w_dec)[0]
-         - mean[1] * np.asarray(w_dec)[1] - mean[2] * np.asarray(w_dec)[2]
-         - cx * np.asarray(w_dec)[3] - cy * np.asarray(w_dec)[4])
-    got = raw @ np.asarray(w_eff) + t
+
+    local = raw.copy()
+    local[:, 0] -= cx
+    local[:, 1] -= cy
+    mx_l, my_l = mean[0] - cx, mean[1] - cy    # means of the locals
+    wd = np.asarray(w_dec)
+    t = (wd[5] - mx_l * wd[0] - my_l * wd[1] - mean[2] * wd[2]
+         - cx * wd[3] - cy * wd[4])
+    got = local @ np.asarray(w_eff) + t
     np.testing.assert_allclose(got, want, atol=1e-4)

@@ -205,10 +205,22 @@ class Detector:
                  fused_frontend: bool | None = None,
                  host_crop: bool = True,
                  wire_buckets: "Optional[tuple]" = None):
-        """wire_dtype: dtype of the host->device point upload. float16 halves
-        the per-sweep transfer (the dominant serving cost on PCIe/tunnel
-        links) at ~5 cm worst-case coordinate quantization at 100 m — opt-in;
-        it breaks bit-for-boxes fidelity vs the f32 reference.
+        """wire_dtype: dtype of the host->device point upload. Two 2-byte
+        options halve the per-sweep transfer (the dominant serving cost on
+        PCIe/tunnel links); both are opt-in because they break bit-for-boxes
+        fidelity vs the f32 reference:
+          * jnp.float16 — ~5 cm coordinate quantization at 100 m. Measured
+            (r3, trained weights): large drift — the 5 cm shifts flip cell
+            assignments near pillar edges. Prefer int16.
+          * jnp.int16 — fixed-point with per-channel scales (coordinates at
+            range/32767, ~3 mm at the 100 m config; intensity at 0.01; dt
+            at 1/8192). ~16x finer coordinates than f16 at the same wire
+            width. Measured r3 caveats: boxes still drift where quantized
+            points rebin across cell borders (p99 ~0.5 m on a half-trained
+            full-config model), and THIS environment's axon tunnel
+            fast-paths f32 uploads — int16 measured 3x slower end-to-end
+            here despite half the bytes. Intended for real PCIe/NVLink
+            hosts; benchmark on your link before adopting.
 
         fused_frontend: None = auto (decoration-free fused front end on
         TPU, classic pillarize+PFN elsewhere); True/False forces it.
@@ -246,6 +258,19 @@ class Detector:
         self.wire_buckets = wire_buckets
         _wire_np = np.dtype(jnp.dtype(wire_dtype).name)
         self._wire_np = _wire_np
+        _f_expect = config.num_raw_features + (1 if config.num_sweeps > 1
+                                               else 0)
+        if _wire_np == np.int16:
+            span = max(abs(config.x_min), abs(config.x_max),
+                       abs(config.y_min), abs(config.y_max),
+                       abs(config.z_min), abs(config.z_max))
+            scales = np.full((_f_expect,), 0.01, np.float32)
+            scales[:3] = span * 1.25 / 32767.0
+            if config.num_sweeps > 1:
+                scales[_f_expect - 1] = 1.0 / 8192.0
+            self._wire_scales = scales
+        else:
+            self._wire_scales = None
         # two executables, device-resident hand-off (see build_forward_fn)
         base_model_fn = build_model_fn(config, dtype=dtype,
                                        use_pallas_pfn=use_pallas_pfn,
@@ -254,13 +279,18 @@ class Detector:
             config, dtype=dtype, use_pallas_pfn=use_pallas_pfn,
             fused_frontend=fused_frontend)
 
+        scales_j = (jnp.asarray(self._wire_scales)
+                    if self._wire_scales is not None else None)
+
+        def dequant(points):
+            p = points.astype(jnp.float32)
+            return p * scales_j if scales_j is not None else p
+
         def model_fn(variables, points, num_points):
-            return base_model_fn(variables, points.astype(jnp.float32),
-                                 num_points)
+            return base_model_fn(variables, dequant(points), num_points)
 
         def model_fn_b(variables, points, num_points):
-            return base_model_fn_b(variables, points.astype(jnp.float32),
-                                   num_points)
+            return base_model_fn_b(variables, dequant(points), num_points)
 
         post_fn = build_postprocess_fn(config)
         self._model = jax.jit(model_fn)
@@ -321,10 +351,17 @@ class Detector:
         m = cfg.max_points
         if self.wire_buckets is not None:
             m = next(b for b in self.wire_buckets if b >= n)
-        # pad with a finite out-of-range sentinel (f16 max is ~65504)
-        pad = 1e6 if self._wire_np.itemsize >= 4 else 3e4
-        out = np.full((m, f_expect), pad, dtype=self._wire_np)
-        out[:n] = points[:n, :f_expect]
+        if self._wire_scales is not None:
+            # int16 fixed-point wire: per-channel quantize; 32767 is the
+            # pad sentinel (dequantizes out of the detection range)
+            out = np.full((m, f_expect), 32767, dtype=np.int16)
+            q = np.round(points[:n, :f_expect] / self._wire_scales)
+            out[:n] = np.clip(q, -32767, 32767).astype(np.int16)
+        else:
+            # pad with a finite out-of-range sentinel (f16 max is ~65504)
+            pad = 1e6 if self._wire_np.itemsize >= 4 else 3e4
+            out = np.full((m, f_expect), pad, dtype=self._wire_np)
+            out[:n] = points[:n, :f_expect]
         self.truncation.record(len(points), n, label="pad_points")
         return out, np.int32(n)
 

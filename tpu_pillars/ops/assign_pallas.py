@@ -339,7 +339,13 @@ def make_windowed_assigner(config: PillarsConfig, max_gt_per_class: int = 16,
             pos = pos | forced
             neg = (iou_b < u_thr) & ~pos
             assigned = jnp.where(forced & (forced_gt >= 0), forced_gt, gtb)
-            matched = jnp.where(pos[:, None], gtc[assigned], anchors_c)
+            # gtc[assigned] as a Gc-step select chain: an 80k-row XLA
+            # gather lowers at tens of cycles per index, while Gc (<=16)
+            # whole-vector selects are plain VPU passes
+            picked = jnp.broadcast_to(gtc[0], (Ac, 7))
+            for g in range(1, Gc):
+                picked = jnp.where(assigned[:, None] == g, gtc[g], picked)
+            matched = jnp.where(pos[:, None], picked, anchors_c)
             reg = encode_boxes(matched, anchors_c)
             dirt = (matched[:, 6] > 0.0).astype(jnp.int32) * pos
             return pos, neg, reg, dirt

@@ -246,6 +246,16 @@ def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
 # device: its DMA semaphore was allocated as the bare class
 # (pltpu.SemaphoreType.DMA) instead of an instance (DMA(())), so the
 # flush's wait() blocked on a semaphore no copy ever signalled.
+#
+# Triple-buffered flush (overlap the half-window copy with the next add
+# round): evaluated r3 and DECLINED on arithmetic. Each flush copies
+# whalf x 128 f32 = 512 KB VMEM->HBM (~0.7 us at HBM rate); ~80 flushes
+# per full-config sample is ~60 us of copy — <1% of the measured 9.9 ms
+# stage, whose cost is the add-round one-hot matmuls (they scale with
+# window width: the whalf sweep measured 1000 optimal, 2000 WORSE). A
+# third buffer either grows wrows 2000 -> 3000 (x1.5 add cost, several
+# ms) or shrinks whalf to 640 (more flush rounds) to hide <0.1 ms of
+# copy. Projected net loss in every geometry; not built.
 # ---------------------------------------------------------------------------
 
 _RCHUNK = 256     # pillars per grid step
