@@ -1,9 +1,13 @@
 from tpu_pillars.train.state import TrainState, TrainConfig, create_train_state
 from tpu_pillars.train.step import TrainBatch, make_train_step, make_eval_forward
 from tpu_pillars.train.checkpoint import save_checkpoint, restore_checkpoint
+from tpu_pillars.train.elastic import (
+    GracefulShutdown, Heartbeat, NaNGuard, TrainingDiverged, check_heartbeat)
 
 __all__ = [
     "TrainState", "TrainConfig", "create_train_state",
     "TrainBatch", "make_train_step", "make_eval_forward",
     "save_checkpoint", "restore_checkpoint",
+    "GracefulShutdown", "Heartbeat", "NaNGuard", "TrainingDiverged",
+    "check_heartbeat",
 ]

@@ -48,18 +48,28 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
         logger: Optional[JsonlLogger] = None, log_every: int = 10,
         ckpt_path: Optional[str] = None, ckpt_every: int = 500,
         eval_fn: Optional[Callable] = None,
-        eval_every: int = 1000) -> TrainState:
+        eval_every: int = 1000,
+        stop: Optional[Callable[[], bool]] = None,
+        heartbeat=None, guard=None) -> TrainState:
     """Run `steps` optimizer steps. step_fn defaults to the jitted
     single-device train step for `config`.
 
     eval_fn, if given, is called as eval_fn(state) every `eval_every` steps
     (and at the end); its returned dict is logged as an 'eval' event — e.g.
     a closure running evaluation.pipeline.evaluate_dataset on a val split.
-    """
+
+    Elastic hooks (train/elastic.py): `stop` is polled before each step —
+    when it goes true (e.g. a GracefulShutdown caught SIGTERM) the loop
+    logs a 'preempted' event, checkpoints, and returns cleanly for a
+    --resume restart. `heartbeat` gets .beat(step) every step (host-side
+    counter: no device sync added). `guard` (NaNGuard) gets
+    .observe(state, loss) at the logging cadence, where the loss is on
+    host anyway."""
     if step_fn is None:
         step_fn = jax.jit(make_train_step(config))
     logger = logger or JsonlLogger(echo=False)
     t0 = time.perf_counter()
+    step0 = int(state.step)
 
     def run_eval():
         if eval_fn is None:
@@ -72,15 +82,23 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
     for i, batch in enumerate(batches):
         if i >= steps:
             break
+        if stop is not None and stop():
+            logger.log("preempted", step=step0 + i)
+            break
         state, losses = step_fn(state, batch)
+        if heartbeat is not None:
+            heartbeat.beat(step0 + i + 1)
         if (i + 1) % log_every == 0 or i + 1 == steps:
+            loss_val = float(losses.total)
             logger.log(
                 "train_step", step=int(state.step),
-                loss=float(losses.total), cls=float(losses.cls),
+                loss=loss_val, cls=float(losses.cls),
                 loc=float(losses.loc), dir=float(losses.dir),
                 num_pos=float(losses.num_pos),
                 steps_per_s=round((i + 1) / (time.perf_counter() - t0), 3),
             )
+            if guard is not None:
+                guard.observe(state, loss_val)
         if ckpt_path and (i + 1) % ckpt_every == 0:
             save_checkpoint(ckpt_path, state, config=config)
             logger.log("checkpoint", step=int(state.step), path=ckpt_path)
@@ -141,7 +159,15 @@ def main() -> None:
                    help="if > 0, log detection mAP on a held-out synthetic "
                         "split every N steps (and at the end)")
     p.add_argument("--eval-scenes", type=int, default=8)
+    p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
+                   help="'cpu' pins the CPU backend BEFORE first device use "
+                        "(this image's TPU plugin ignores JAX_PLATFORMS; the "
+                        "chip is single-client, so subprocess smoke runs "
+                        "must not touch it)")
     args = p.parse_args()
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     config = PillarsConfig() if args.full_size else tiny_config()
     tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
@@ -168,7 +194,10 @@ def main() -> None:
                                       seed=args.seed + 100_000)
                if args.eval_every > 0 else None)
 
-    with JsonlLogger(f"{args.out}/train.jsonl", echo=True) as logger:
+    from tpu_pillars.train.elastic import GracefulShutdown, Heartbeat, NaNGuard
+
+    with JsonlLogger(f"{args.out}/train.jsonl", echo=True) as logger, \
+            GracefulShutdown() as shutdown:
         logger.log("start", steps=args.steps, batch=args.batch,
                    resumed_at=start, backend=jax.default_backend(),
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
@@ -178,7 +207,10 @@ def main() -> None:
             config, compute_dtype=jnp.dtype(tcfg.compute_dtype)))
         fit(state, batches, steps=max(0, args.steps - start), config=config,
             step_fn=step_fn, logger=logger, ckpt_path=ckpt_path,
-            eval_fn=eval_fn, eval_every=args.eval_every or 1000)
+            eval_fn=eval_fn, eval_every=args.eval_every or 1000,
+            stop=shutdown,
+            heartbeat=Heartbeat(f"{args.out}/heartbeat.json"),
+            guard=NaNGuard(f"{args.out}/diverged.msgpack", config=config))
 
 
 if __name__ == "__main__":
