@@ -253,13 +253,15 @@ def main() -> None:
                      f"({4/step_s:.2f} sweeps/s)\n")
 
     # train-step stage breakdown (amortized device times): pillarize and
-    # target assignment are the two non-model costs fused into the step
-    from tpu_pillars.ops.target_assigner import make_classwise_assigner
+    # target assignment are the two non-model costs fused into the step.
+    # The assigner timed here is the one the step actually uses on TPU —
+    # the windowed Pallas kernel (train/step.py assigner="auto")
+    from tpu_pillars.ops.assign_pallas import make_windowed_assigner
 
     d_tpts, d_tn = jax.device_put(pts), jax.device_put(npts)
     _, per_tpill = _device_loop_rate(
         lambda p, n: pill_b(p, n).features, (d_tpts, d_tn), 4, iters=12)
-    assign_b = jax.jit(jax.vmap(make_classwise_assigner(cfg)))
+    assign_b = jax.jit(make_windowed_assigner(cfg))
     d_gb, d_gc, d_gv = map(jax.device_put, (gb, gc, gv))
     _, per_assign = _device_loop_rate(
         lambda b, c, v: assign_b(b, c, v).reg_targets,

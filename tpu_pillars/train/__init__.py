@@ -3,11 +3,12 @@ from tpu_pillars.train.step import TrainBatch, make_train_step, make_eval_forwar
 from tpu_pillars.train.checkpoint import save_checkpoint, restore_checkpoint
 from tpu_pillars.train.elastic import (
     GracefulShutdown, Heartbeat, NaNGuard, TrainingDiverged, check_heartbeat)
+from tpu_pillars.train.prefetch import prefetch, device_prefetch
 
 __all__ = [
     "TrainState", "TrainConfig", "create_train_state",
     "TrainBatch", "make_train_step", "make_eval_forward",
     "save_checkpoint", "restore_checkpoint",
     "GracefulShutdown", "Heartbeat", "NaNGuard", "TrainingDiverged",
-    "check_heartbeat",
+    "check_heartbeat", "prefetch", "device_prefetch",
 ]

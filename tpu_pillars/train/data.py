@@ -7,6 +7,7 @@ rest on device.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -56,36 +57,63 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                     augment: Optional[AugmentConfig] = None,
                     gt_sampler=None,
                     seed: int = 0, epochs: Optional[int] = None,
-                    use_native: Optional[bool] = None) -> Iterable[TrainBatch]:
+                    use_native: Optional[bool] = None,
+                    num_workers: int = 0) -> Iterable[TrainBatch]:
     """Shuffled epoch iterator of TrainBatch (drops the ragged tail batch).
 
     gt_sampler: optional data.gt_sampler.GTSampler — paste-injects stored
     GT objects of under-represented classes (collision-checked) BEFORE the
-    global transforms, matching the SECOND-lineage augmentation order."""
+    global transforms, matching the SECOND-lineage augmentation order.
+
+    num_workers > 0 builds the batch's samples on a thread pool (loads and
+    augmentation are NumPy/IO that release the GIL; the native loader
+    releases it for the whole fused pass). Each sample draws from its own
+    RNG spawned in a fixed order from the stream RNG, so **every worker
+    count yields the bit-identical stream** — resume replay and the
+    determinism tests do not depend on the worker setting. Wrap the result
+    in train.prefetch.prefetch/device_prefetch to overlap whole-batch
+    construction and the h2d copy with the device step."""
     rng = np.random.default_rng(seed)
     tokens = list(tokens or dataset.sample_tokens())
     f_expect = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
-    epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(len(tokens))
-        for start in range(0, len(tokens) - batch_size + 1, batch_size):
-            pts_b = np.full((batch_size, config.max_points, f_expect), 1e6,
-                            np.float32)
-            npts = np.zeros((batch_size,), np.int32)
-            gb = np.zeros((batch_size, max_gt_boxes, 7), np.float32)
-            gc = np.zeros((batch_size, max_gt_boxes), np.int32)
-            gv = np.zeros((batch_size, max_gt_boxes), bool)
-            for i, j in enumerate(order[start : start + batch_size]):
-                pts, b, c, v = sample_to_arrays(
-                    dataset, tokens[j], config, max_gt_boxes,
-                    use_native=use_native)
-                if gt_sampler is not None:
-                    pts, b, c, v = gt_sampler.inject_padded(rng, pts, b, c, v)
-                if augment is not None:
-                    pts, b = augment_scene(rng, pts, b, augment)
-                n = min(len(pts), config.max_points)
-                pts_b[i, :n] = pts[:n, :f_expect]
-                npts[i] = n
-                gb[i], gc[i], gv[i] = b, c, v
-            yield TrainBatch(pts_b, npts, gb, gc, gv)
-        epoch += 1
+
+    def build_sample(j: int, srng: np.random.Generator):
+        pts, b, c, v = sample_to_arrays(dataset, tokens[j], config,
+                                        max_gt_boxes, use_native=use_native)
+        if gt_sampler is not None:
+            pts, b, c, v = gt_sampler.inject_padded(srng, pts, b, c, v)
+        if augment is not None:
+            pts, b = augment_scene(srng, pts, b, augment)
+        return pts, b, c, v
+
+    pool = (ThreadPoolExecutor(num_workers, "tpu-pillars-data")
+            if num_workers > 0 else None)
+    try:
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(tokens))
+            for start in range(0, len(tokens) - batch_size + 1, batch_size):
+                idxs = order[start : start + batch_size]
+                # spawned serially => deterministic regardless of workers
+                srngs = rng.spawn(batch_size)
+                if pool is not None:
+                    samples = list(pool.map(build_sample, idxs, srngs))
+                else:
+                    samples = [build_sample(j, r)
+                               for j, r in zip(idxs, srngs)]
+                pts_b = np.full((batch_size, config.max_points, f_expect),
+                                1e6, np.float32)
+                npts = np.zeros((batch_size,), np.int32)
+                gb = np.zeros((batch_size, max_gt_boxes, 7), np.float32)
+                gc = np.zeros((batch_size, max_gt_boxes), np.int32)
+                gv = np.zeros((batch_size, max_gt_boxes), bool)
+                for i, (pts, b, c, v) in enumerate(samples):
+                    n = min(len(pts), config.max_points)
+                    pts_b[i, :n] = pts[:n, :f_expect]
+                    npts[i] = n
+                    gb[i], gc[i], gv[i] = b, c, v
+                yield TrainBatch(pts_b, npts, gb, gc, gv)
+            epoch += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -155,6 +155,10 @@ def main() -> None:
                         "restores params/opt_state/step and fast-forwards "
                         "the seeded data stream so the loss curve continues "
                         "exactly where the killed run left off")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="input-pipeline depth: batches built ahead in a "
+                        "background thread and device_put off the critical "
+                        "path (0 = synchronous)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="if > 0, log detection mAP on a held-out synthetic "
                         "split every N steps (and at the end)")
@@ -189,6 +193,12 @@ def main() -> None:
         # the stream is a pure function of (seed, config): dropping the
         # first `start` batches replays exactly the data the killed run saw
         batches = itertools.islice(batches, start, None)
+    if args.prefetch > 0:
+        # content-preserving async staging (train/prefetch.py): batch k+1
+        # is built and h2d-copied while step k runs
+        from tpu_pillars.train.prefetch import device_prefetch
+
+        batches = device_prefetch(batches, size=args.prefetch)
 
     eval_fn = (make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
                                       seed=args.seed + 100_000)
