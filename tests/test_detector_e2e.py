@@ -232,3 +232,12 @@ def test_from_checkpoint_and_stream(rng, tmp_path):
         assert len(direct) == len(boxes)
         for a, b in zip(boxes, direct):
             np.testing.assert_array_equal(a.to_array(), b.to_array())
+    # the threaded producer (default) must yield the same ordered results
+    # as the single-thread deque pipeline
+    serial = list(det.predict_stream((s.points for s in scenes),
+                                     threaded=False))
+    assert len(serial) == len(streamed)
+    for xs, ys in zip(streamed, serial):
+        assert len(xs) == len(ys)
+        for a, b in zip(xs, ys):
+            np.testing.assert_array_equal(a.to_array(), b.to_array())

@@ -391,12 +391,27 @@ class Detector:
         return packed_to_boxes(packed, self.config, token=token,
                                lidar_to_global=lidar_to_global)
 
-    def predict_stream(self, clouds, depth: int = 3):
+    def predict_stream(self, clouds, depth: int = 3, threaded: bool = True):
         """Pipelined serving: yields List[Box3D] per input cloud, keeping up
-        to `depth` sweeps in flight so result download overlaps later frames'
-        upload/compute (the pattern bench.py measures)."""
+        to `depth` sweeps in flight.
+
+        threaded (default): a producer thread runs pad + upload + dispatch
+        while the consumer thread pulls results, so the blocking host->device
+        copy of frame k+1 overlaps the result download of frame k. On this
+        environment's tunnel that turns the serial pad+upload+pull sum
+        (~108 ms/sweep) into max(upload, pull) — measured 59 ms/sweep
+        (bench.py prints both). threaded=False keeps the single-thread
+        deque pipeline (upload still overlaps device compute via async
+        dispatch, but not the result pulls)."""
         from collections import deque
 
+        if threaded:
+            from tpu_pillars.train.prefetch import prefetch
+
+            for out in prefetch(map(self.predict_packed, clouds),
+                                size=depth):
+                yield packed_to_boxes(np.asarray(out), self.config)
+            return
         pending: "deque" = deque()
         for points in clouds:
             pending.append(self.predict_packed(points))
