@@ -85,7 +85,7 @@ def main() -> None:
         state = fit(state,
                     dataset_batches(ds, cfg, tcfg.batch_size,
                                     tcfg.max_gt_boxes, seed=args.seed,
-                                    gt_sampler=gt_sampler),
+                                    gt_sampler=gt_sampler, num_workers=2),
                     steps=args.steps, config=cfg, logger=lg,
                     log_every=max(args.steps // 5, 1))
 

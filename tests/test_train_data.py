@@ -53,3 +53,25 @@ def test_train_step_on_dataset_batch(dataset):
     assert np.isfinite(float(losses.total))
     assert float(losses.num_pos) > 0
     assert int(state.step) == 1
+
+
+def test_dataset_batches_too_few_samples_raises(dataset):
+    with pytest.raises(ValueError, match="batch_size"):
+        next(iter(dataset_batches(dataset, CFG, batch_size=64,
+                                  max_gt_boxes=8)))
+
+
+def test_lyft_dataset_wrong_root_raises(tmp_path):
+    """Passing the fixture ROOT (instead of the json table dir) must fail
+    fast with a pointer to the right directory, not index zero scenes."""
+    from tpu_pillars.data.fixture import build_fixture
+    from tpu_pillars.data.lyft import LyftDataset
+
+    root = str(tmp_path / "fxroot")
+    json_dir = build_fixture(root, CFG, num_scenes=1, samples_per_scene=2,
+                             sweeps_per_sample=1)
+    assert json_dir != root
+    with pytest.raises(FileNotFoundError, match="json TABLE dir"):
+        LyftDataset(root)
+    with pytest.raises(FileNotFoundError):
+        LyftDataset(str(tmp_path / "nowhere"))

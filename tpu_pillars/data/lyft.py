@@ -32,6 +32,13 @@ TABLE_NAMES = (
 class LyftDataset:
     """Index the JSON tables; navigate scenes/samples; load lidar + boxes."""
 
+    #: tables that must exist on disk — a root without them is almost
+    #: certainly the wrong directory (e.g. the fixture ROOT instead of the
+    #: json subdir build_fixture returns); silently indexing zero scenes
+    #: used to send downstream epoch iterators into an infinite spin
+    REQUIRED_TABLES = ("scene", "sample", "sample_data",
+                       "ego_pose", "calibrated_sensor")
+
     def __init__(self, json_path: str, data_path: Optional[str] = None):
         self.json_path = json_path
         self.data_path = data_path or os.path.dirname(json_path.rstrip("/"))
@@ -43,9 +50,21 @@ class LyftDataset:
             if os.path.exists(fp):
                 with open(fp) as f:
                     records = json.load(f)
+            elif name in self.REQUIRED_TABLES:
+                hint = ""
+                sub = os.path.join(json_path, "data", f"{name}.json")
+                if os.path.exists(sub):
+                    hint = (f" (found {sub} — pass the json TABLE dir "
+                            f"{os.path.join(json_path, 'data')!r}, not the "
+                            f"dataset root)")
+                raise FileNotFoundError(
+                    f"LyftDataset: required table {fp} does not exist{hint}")
             self.tables[name] = {r["token"]: r for r in records}
             if name == "scene":
                 self.scene_list = records
+        if not self.scene_list:
+            raise ValueError(
+                f"LyftDataset: {json_path} contains an empty scene table")
 
     def get(self, table: str, token: str) -> dict:
         return self.tables[table][token]

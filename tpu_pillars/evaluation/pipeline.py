@@ -63,14 +63,22 @@ def evaluate_dataset(
         def predict_b(variables, pts_b, n_b):
             return det.predict_packed_batch(pts_b, n_b)
 
-    for start in range(0, len(tokens), batch_size):
-        chunk = tokens[start: start + batch_size]
-        padded = [det.pad_points(_load_points(dataset, t, cfg, num_sweeps))
-                  for t in chunk]
-        while len(padded) < batch_size:           # repeat-pad the last batch
-            padded.append(padded[-1])
-        pts_b = np.stack([p for p, _ in padded])
-        n_b = np.asarray([n for _, n in padded], np.int32)
+    def host_batches():
+        for start in range(0, len(tokens), batch_size):
+            chunk = tokens[start: start + batch_size]
+            padded = [det.pad_points(_load_points(dataset, t, cfg,
+                                                  num_sweeps))
+                      for t in chunk]
+            while len(padded) < batch_size:       # repeat-pad the last batch
+                padded.append(padded[-1])
+            yield (chunk, np.stack([p for p, _ in padded]),
+                   np.asarray([n for _, n in padded], np.int32))
+
+    # producer thread loads+pads the next batch while this thread waits on
+    # the device result pull (train/prefetch.py; content-preserving)
+    from tpu_pillars.train.prefetch import prefetch
+
+    for chunk, pts_b, n_b in prefetch(host_batches(), size=2):
         packed_b = np.asarray(predict_b(det.variables, pts_b, n_b))
 
         for tok, packed in zip(chunk, packed_b):

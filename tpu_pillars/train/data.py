@@ -75,6 +75,11 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
     construction and the h2d copy with the device step."""
     rng = np.random.default_rng(seed)
     tokens = list(tokens or dataset.sample_tokens())
+    if len(tokens) < batch_size:
+        # without this the epoch loop would yield nothing and spin forever
+        raise ValueError(
+            f"dataset_batches: {len(tokens)} sample(s) < batch_size "
+            f"{batch_size} — every epoch would be empty")
     f_expect = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
 
     def build_sample(j: int, srng: np.random.Generator):

@@ -144,6 +144,22 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", type=str, default="/tmp/tpu_pillars_run")
+    p.add_argument("--data", type=str, default=None,
+                   help="Lyft-format dataset directory (data.lyft.LyftDataset"
+                        " json root). Default: seeded synthetic scenes")
+    p.add_argument("--workers", type=int, default=4,
+                   help="thread-pool width for per-sample dataset loads "
+                        "(--data only; any value yields the same stream)")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable the global flip/rotate/scale/translate "
+                        "augmentation on dataset samples")
+    p.add_argument("--gt-sample", type=int, default=0,
+                   help="if > 0, GT-database sampling augmentation: paste-"
+                        "inject stored objects until each class has N "
+                        "instances per scene (--data only)")
+    p.add_argument("--val-samples", type=int, default=8,
+                   help="with --data and --eval-every: hold out the last N "
+                        "samples for detection-mAP eval (never trained on)")
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny smoke config")
     p.add_argument("--seed", type=int, default=0)
@@ -188,7 +204,50 @@ def main() -> None:
         state = restore_checkpoint(ckpt_path, state, config=config)
         start = int(state.step)
 
-    batches = synthetic_batches(config, tcfg, seed=args.seed)
+    eval_fn = None
+    if args.data:
+        from tpu_pillars.data.augment import AugmentConfig
+        from tpu_pillars.data.lyft import LyftDataset
+        from tpu_pillars.train.data import dataset_batches
+
+        ds = LyftDataset(args.data)
+        tokens = list(ds.sample_tokens())
+        train_tokens = tokens
+        if args.eval_every > 0 and args.val_samples > 0:
+            n_val = min(args.val_samples, max(len(tokens) - args.batch, 0))
+            train_tokens = tokens[: len(tokens) - n_val]
+            val_tokens = tokens[len(tokens) - n_val:]
+            if val_tokens:
+                from tpu_pillars.detector import Detector
+                from tpu_pillars.evaluation.pipeline import evaluate_dataset
+
+                det_cache: list = []
+
+                def eval_fn(state, _ds=ds, _tok=val_tokens):
+                    if not det_cache:
+                        det_cache.append(Detector(config, state.variables))
+                    det = det_cache[0]
+                    det.variables = state.variables
+                    mAP, _t, _p = evaluate_dataset(det, _ds,
+                                                   sample_tokens=_tok)
+                    return {"mAP": mAP}
+        gt_sampler = None
+        if args.gt_sample > 0:
+            from tpu_pillars.data.gt_sampler import (
+                GTDatabase, GTSampleConfig, GTSampler,
+            )
+
+            db = GTDatabase.from_dataset(ds, config, tokens=train_tokens)
+            gt_sampler = GTSampler(
+                db, GTSampleConfig(target_per_class=args.gt_sample))
+        batches = dataset_batches(
+            ds, config, tcfg.batch_size, tcfg.max_gt_boxes,
+            tokens=train_tokens,
+            augment=None if args.no_augment else AugmentConfig(),
+            gt_sampler=gt_sampler, seed=args.seed,
+            num_workers=max(args.workers, 0))
+    else:
+        batches = synthetic_batches(config, tcfg, seed=args.seed)
     if start:
         # the stream is a pure function of (seed, config): dropping the
         # first `start` batches replays exactly the data the killed run saw
@@ -200,9 +259,9 @@ def main() -> None:
 
         batches = device_prefetch(batches, size=args.prefetch)
 
-    eval_fn = (make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
-                                      seed=args.seed + 100_000)
-               if args.eval_every > 0 else None)
+    if eval_fn is None and args.eval_every > 0 and not args.data:
+        eval_fn = make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
+                                         seed=args.seed + 100_000)
 
     from tpu_pillars.train.elastic import GracefulShutdown, Heartbeat, NaNGuard
 
