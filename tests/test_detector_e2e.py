@@ -196,6 +196,41 @@ def test_trained_weights_bit_for_boxes(rng):
     assert checked > 0  # the trained detector actually detects
 
 
+def test_wire_head_matches_ssd_head(rng):
+    """The serving head (explicit matmuls emitting the wire layout —
+    detector._wire_head) must compute the same logits as SSDHead's 1x1
+    convs: `own` = own-class logits in canonical anchor order, box/dir
+    feature-major in the permuted order a'' = a_loc * HW + hw."""
+    from tpu_pillars.detector import _wire_head
+    from tpu_pillars.ops.anchors import make_anchors
+
+    cfg = CFG
+    variables = _init_variables(cfg)
+    model = PointPillars(cfg)
+    canvas = jnp.asarray(
+        rng.normal(0, 1, (cfg.grid_h, cfg.grid_w, cfg.pfn_channels))
+        .astype(np.float32))
+    out = model.apply(variables, canvas,
+                      method=PointPillars.detect_from_canvas)
+    feat = model.apply(variables, canvas,
+                       method=PointPillars.features_from_canvas)
+    own, box_p, dir_p = _wire_head(cfg)(variables["params"]["head"], feat)
+
+    A, A_loc = cfg.num_anchors, cfg.anchors_per_loc
+    hw = A // A_loc
+    _, anchor_cls = make_anchors(cfg)
+    cls = np.asarray(out.cls_logits)
+    np.testing.assert_allclose(np.asarray(own),
+                               cls[np.arange(A), anchor_cls],
+                               rtol=1e-5, atol=1e-4)
+    for got, want_am, k in ((box_p, out.box_deltas, 7),
+                            (dir_p, out.dir_logits, 2)):
+        want = (np.asarray(want_am).reshape(hw, A_loc, k)
+                .transpose(2, 1, 0).reshape(k, A))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_predict_deterministic(rng):
     cfg = CFG
     variables = _init_variables(cfg)

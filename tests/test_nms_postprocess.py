@@ -128,6 +128,32 @@ def test_nms_long_suppression_chain(rng):
     np.testing.assert_array_equal(np.sort(np.nonzero(keep)[0]), np.sort(ref))
 
 
+def test_postprocess_w_matches_anchor_major(rng):
+    # the serving-wire twin (detector stage 2): own-class logits canonical,
+    # box/dir feature-major in the conv-natural PERMUTED anchor order
+    # (a'' = a_loc * HW + hw) — must be bit-identical to postprocess
+    from tpu_pillars.ops.postprocess import postprocess_w
+
+    cfg = CFG
+    anchors, anchor_cls = make_anchors(cfg)
+    cls, deltas, dirs = _random_head_outputs(rng, cfg)
+    a = postprocess(jnp.asarray(cls), jnp.asarray(deltas), jnp.asarray(dirs),
+                    jnp.asarray(anchors), jnp.asarray(anchor_cls), cfg)
+
+    A, A_loc = cfg.num_anchors, cfg.anchors_per_loc
+    hw = A // A_loc
+    own = cls[np.arange(A), anchor_cls]
+    # canonical a = hw * A_loc + a_loc  ->  permuted a'' = a_loc * HW + hw
+    box_p = deltas.reshape(hw, A_loc, 7).transpose(2, 1, 0).reshape(7, A)
+    dir_p = dirs.reshape(hw, A_loc, 2).transpose(2, 1, 0).reshape(2, A)
+    b = postprocess_w(jnp.asarray(own), jnp.asarray(box_p),
+                      jnp.asarray(dir_p), jnp.asarray(anchors),
+                      jnp.asarray(anchor_cls), cfg)
+    for name, x, y in zip(a._fields, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
 def test_postprocess_t_matches_anchor_major(rng):
     # the feature-major twin (the detector's actual stage-2 path) must be
     # bit-identical to the anchor-major postprocess

@@ -42,12 +42,68 @@ def build_forward_fn(config: PillarsConfig, dtype=jnp.float32):
     stage2 = build_postprocess_fn(config)
 
     def forward(variables, points, num_points) -> Detections:
-        cls_logits, box_deltas, dir_logits = jax.lax.optimization_barrier(
+        own, box_p, dir_p = jax.lax.optimization_barrier(
             stage1(variables, points, num_points)
         )
-        return stage2(cls_logits, box_deltas, dir_logits)
+        return stage2(own, box_p, dir_p)
 
     return forward
+
+
+def _wire_head(config: PillarsConfig, dtype=jnp.float32):
+    """Serving head: the three 1x1 head convs as explicit matmuls emitting
+    the wire layout directly — (own, box_p, dir_p) with own (..., A) in
+    CANONICAL anchor order (a = hw * A_loc + a_loc) and box_p/dir_p
+    (..., 7, A) / (..., 2, A) feature-major in the conv-natural PERMUTED
+    order (a'' = a_loc * HW + hw), consumed by ops.postprocess.postprocess_w.
+
+    Why (measured v5e, batch 8, full config): the jit-boundary handoff of
+    (k, A) transposed head outputs costs 15.2 ms — the transposes move the
+    full 9+7+2 channel tensors through a layout flip. Computing the head as
+    matmuls on the ONCE-transposed 384-channel feature map instead emits
+    box/dir in the target feature-major layout for free (the matmul's
+    output-channel axis IS the feature axis), and pre-permuting the weight
+    COLUMNS (k-major instead of a_loc-major) makes the reshape to
+    (..., k, A'') a no-op relabel: total handoff overhead ~2.3 ms. Only the
+    9-way own-class select needs canonical order, and that comes from a thin
+    (384, A_loc) matmul on the untransposed map. Same math as
+    models.head.SSDHead — tests pin the end boxes equal."""
+    K = len(config.classes)
+    A_loc = config.anchors_per_loc
+    # own-class logit channel of anchor a_loc: the head conv emits channels
+    # (a_loc major, k minor); the class of anchor a_loc is a_loc // 2
+    # (2 yaws per class — ops.anchors layout)
+    own_ch = jnp.asarray([al * K + al // 2 for al in range(A_loc)])
+
+    def colperm(k_dim):
+        # new column (k * A_loc + a_loc) <- old column (a_loc * k_dim + k)
+        k = np.arange(k_dim)[:, None]
+        al = np.arange(A_loc)[None, :]
+        return jnp.asarray((al * k_dim + k).reshape(-1))
+
+    pb, pd = colperm(7), colperm(2)
+
+    def head(head_params, feat):
+        lead = feat.shape[:-3]
+        hf, wf, c = feat.shape[-3:]
+        hw, a = hf * wf, hf * wf * A_loc
+        cast = lambda t: t.astype(dtype)  # noqa: E731 — matches nn.Conv dtype
+        p = head_params
+        wc = p["cls"]["kernel"].reshape(c, A_loc * K)
+        wb = p["box"]["kernel"].reshape(c, A_loc * 7)
+        wd = p["dir"]["kernel"].reshape(c, A_loc * 2)
+        f = feat.reshape(lead + (hw, c))
+        own = (f @ cast(wc[:, own_ch]) + cast(p["cls"]["bias"][own_ch]))
+        ft = jnp.swapaxes(f, -1, -2)  # (..., 384, HW): ONE transpose
+        box_p = (jnp.einsum("kc,...kh->...ch", cast(wb[:, pb]), ft)
+                 + cast(p["box"]["bias"][pb])[:, None])
+        dir_p = (jnp.einsum("kc,...kh->...ch", cast(wd[:, pd]), ft)
+                 + cast(p["dir"]["bias"][pd])[:, None])
+        return (own.reshape(lead + (a,)).astype(jnp.float32),
+                box_p.reshape(lead + (7, a)).astype(jnp.float32),
+                dir_p.reshape(lead + (2, a)).astype(jnp.float32))
+
+    return head
 
 
 def _use_fused_frontend(config: PillarsConfig, use_pallas_pfn: bool,
@@ -64,7 +120,8 @@ def _use_fused_frontend(config: PillarsConfig, use_pallas_pfn: bool,
 def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
                    use_pallas_pfn: bool = True,
                    fused_frontend: bool | None = None):
-    """Stage 1: points -> (cls_logits, box_deltas, dir_logits), f32.
+    """Stage 1: points -> (own, box_p, dir_p) wire tensors, f32 (the
+    _wire_head layout; stage 2 is postprocess_w).
 
     Default TPU path (`fused_frontend` auto): the decoration-free fused
     front end (ops.fused_pfn) — sort, emit kernel, one fused
@@ -84,6 +141,7 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
+    wire_head = _wire_head(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
         if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
@@ -95,8 +153,6 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
                 points[None], num_points[None], w, b, config)
             canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask,
                                              config)[0]
-            out = model.apply(variables, canvas,
-                              method=_PP.detect_from_canvas)
         elif use_pallas_pfn:
             batch = pillarize_auto(points, num_points, config)
             p = variables["params"]["pfn"]
@@ -106,19 +162,17 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
             pillar_feats = pfn_fused(batch.features, batch.mask, w, b)
             canvas = scatter_to_bev_auto(pillar_feats, batch.coords,
                                     batch.pillar_mask, config)
-            out = model.apply(variables, canvas,
-                              method=_PP.detect_from_canvas)
         else:
             batch = pillarize_auto(points, num_points, config)
-            out = model.apply(variables, batch)
-        # feature-major stage handoff: (k, A) instead of (A, k) — anchor-
-        # major jit outputs are stored lane-padded to 128 on TPU (a
-        # (720k, 9) f32 boundary tensor occupies ~368 MB and reading own-
-        # class scores from it measured 10.8 ms at batch 8); with the
-        # anchor axis on lanes the same handoff is ~70 MB total
-        return (out.cls_logits.astype(jnp.float32).T,
-                out.box_deltas.astype(jnp.float32).T,
-                out.dir_logits.astype(jnp.float32).T)
+            canvas = model.apply(variables, batch,
+                                 method=_PP.canvas_from_batch)
+        # wire handoff: own canonical (A,), box/dir feature-major permuted
+        # (k, A'') straight out of the head matmuls (see _wire_head — the
+        # transposed (k, A) handoff this replaces cost 15.2 ms at batch 8,
+        # this one ~2.3 ms)
+        feat = model.apply(variables, canvas,
+                           method=_PP.features_from_canvas)
+        return wire_head(variables["params"]["head"], feat)
 
     return run_model
 
@@ -126,7 +180,8 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
 def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
                            use_pallas_pfn: bool = True,
                            fused_frontend: bool | None = None):
-    """Natively batched stage 1: (B, M, F) points -> (B, A, ·) head outputs.
+    """Natively batched stage 1: (B, M, F) points -> wire tensors
+    (B, A) / (B, 7, A) / (B, 2, A) — see build_model_fn / _wire_head.
 
     vmap-ing the single-sweep fn would also vmap the Pallas kernels (slow
     batching rule); instead the whole front end is natively batched: one
@@ -143,6 +198,7 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
+    wire_head = _wire_head(config, dtype=dtype)
 
     def run_model(variables, points, num_points):
         if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
@@ -153,8 +209,6 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
             feats, pid_per, pmask = pillarize_pfn_fused(
                 points, num_points, w, b, config)
             canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask, config)
-            out = model.apply(variables, canvas,
-                              method=_PP.detect_from_canvas)
         elif use_pallas_pfn:
             batch = pillarize_batch_auto(points, num_points, config)
             B, P, N, D = batch.features.shape
@@ -166,31 +220,30 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
                              batch.mask.reshape(B * P, N), w, b)
             canvas = scatter_to_bev_auto(flat.reshape(B, P, -1), batch.coords,
                                     batch.pillar_mask, config)
-            out = model.apply(variables, canvas,
-                              method=_PP.detect_from_canvas)
         else:
             batch = pillarize_batch_auto(points, num_points, config)
-            out = model.apply(variables, batch)
-        # feature-major handoff (see build_model_fn)
-        swap = lambda t: jnp.swapaxes(t.astype(jnp.float32), -1, -2)  # noqa: E731
-        return (swap(out.cls_logits), swap(out.box_deltas),
-                swap(out.dir_logits))
+            canvas = model.apply(variables, batch,
+                                 method=_PP.canvas_from_batch)
+        # wire handoff (see build_model_fn / _wire_head)
+        feat = model.apply(variables, canvas,
+                           method=_PP.features_from_canvas)
+        return wire_head(variables["params"]["head"], feat)
 
     return run_model
 
 
 def build_postprocess_fn(config: PillarsConfig):
-    """Stage 2: feature-major head outputs (k, A) -> Detections (anchors
-    closed over). Consumes the transposed stage-1 handoff; same math as
+    """Stage 2: wire tensors (own, box_p, dir_p) -> Detections (anchors
+    closed over). Consumes the _wire_head stage-1 handoff; same math as
     ops.postprocess.postprocess (tests pin them equal)."""
-    from tpu_pillars.ops.postprocess import postprocess_t
+    from tpu_pillars.ops.postprocess import postprocess_w
 
     anchors, anchor_cls = make_anchors(config)
     anchors_j = jnp.asarray(anchors)
     anchor_cls_j = jnp.asarray(anchor_cls)
 
-    def run_post(cls_t, box_t, dir_t) -> Detections:
-        return postprocess_t(cls_t, box_t, dir_t,
+    def run_post(own, box_p, dir_p) -> Detections:
+        return postprocess_w(own, box_p, dir_p,
                              anchors_j, anchor_cls_j, config)
 
     return run_post
@@ -300,8 +353,8 @@ class Detector:
 
         # wire format: one (D, 10) array per sweep -> a single device-to-host
         # transfer [x, y, z, w, l, h, yaw, score, class, valid]
-        def post_packed(cls_logits, box_deltas, dir_logits):
-            return pack_detections(post_fn(cls_logits, box_deltas, dir_logits))
+        def post_packed(own, box_p, dir_p):
+            return pack_detections(post_fn(own, box_p, dir_p))
 
         self._post_packed = jax.jit(post_packed)
         self._post_packed_batch = jax.jit(jax.vmap(post_packed))

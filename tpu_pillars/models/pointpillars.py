@@ -63,13 +63,23 @@ class PointPillars(nn.Module):
         )
 
     def __call__(self, batch: PillarBatch) -> ModelOutputs:
+        return self.detect_from_canvas(self.canvas_from_batch(batch))
+
+    def canvas_from_batch(self, batch: PillarBatch):
+        """PFN + BEV scatter only: (P, N, D) pillars -> (H, W, C) canvas."""
         pillar_feats = self.pfn(batch.features, batch.mask)
-        canvas = scatter_to_bev(pillar_feats, batch.coords,
-                                batch.pillar_mask, self.config)
-        return self.detect_from_canvas(canvas)
+        return scatter_to_bev(pillar_feats, batch.coords,
+                              batch.pillar_mask, self.config)
 
     def detect_from_canvas(self, canvas) -> ModelOutputs:
         """RPN + head only — entry point for the fused Pallas PFN path,
         which computes pillar features and the canvas outside flax."""
         out: HeadOutputs = self.head(self.rpn(canvas))
         return ModelOutputs(*out)
+
+    def features_from_canvas(self, canvas):
+        """RPN only: (..., H, W, C_in) canvas -> (..., H/2, W/2, C_feat)
+        feature map. Serving entry point — the detector computes the head
+        as explicit matmuls on the transposed feature map (the feature-
+        major wire; see detector._wire_head) instead of self.head."""
+        return self.rpn(canvas)

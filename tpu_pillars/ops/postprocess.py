@@ -80,6 +80,40 @@ def postprocess_t(cls_t, box_t, dir_t, anchors, anchor_cls,
                          config)
 
 
+def postprocess_w(own, box_p, dir_p, anchors, anchor_cls,
+                  config: PillarsConfig) -> Detections:
+    """Serving-wire postprocess: own (A,) own-class logits in CANONICAL
+    anchor order (a = hw * A_loc + a_loc); box_p (7, A''), dir_p (2, A'')
+    feature-major in the conv-natural PERMUTED order (a'' = a_loc * HW +
+    hw). Anchors/anchor_cls are canonical compile-time constants.
+
+    Same math and bit-identical results as :func:`postprocess` — the wire
+    layout is the point (see detector._wire_head: the permuted order lets
+    stage 1 emit box/dir straight out of the head matmuls with zero
+    relayout, ~13 ms cheaper per batch-8 than transposing (A, k) tensors,
+    while `own` stays canonical so top-k tie-breaks match the reference
+    exactly). Candidate indices are translated canonical -> permuted with
+    two integer ops; everything downstream is anchor-order-agnostic."""
+    top_scores, top_idx, cand_valid = _top_candidates(own, anchor_cls, config)
+
+    a = own.shape[0]
+    a_loc = config.anchors_per_loc
+    hw = a // a_loc
+    p_idx = (top_idx % a_loc) * hw + top_idx // a_loc
+
+    def take_cols(t):
+        rows, k = t.shape[0], p_idx.shape[0]
+        flat_idx = (jnp.arange(rows, dtype=p_idx.dtype)[:, None] * a
+                    + p_idx[None, :])
+        return t.reshape(rows * a)[flat_idx.reshape(-1)].reshape(rows, k)
+
+    boxes = decode_boxes(take_cols(box_p).T, anchors[top_idx])
+    dir_cls = jnp.argmax(take_cols(dir_p), axis=0)
+    cls_of = anchor_cls[top_idx]
+    return _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
+                         config)
+
+
 def postprocess(cls_logits, box_deltas, dir_logits, anchors, anchor_cls,
                 config: PillarsConfig) -> Detections:
     """cls_logits (A, K), box_deltas (A, 7), dir_logits (A, 2);
