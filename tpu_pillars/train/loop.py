@@ -179,6 +179,10 @@ def main() -> None:
                    help="if > 0, log detection mAP on a held-out synthetic "
                         "split every N steps (and at the end)")
     p.add_argument("--eval-scenes", type=int, default=8)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalar events to "
+                        "{out}/tb (dependency-free writer, "
+                        "utils/tensorboard.py)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
                    help="'cpu' pins the CPU backend BEFORE first device use "
                         "(this image's TPU plugin ignores JAX_PLATFORMS; the "
@@ -265,7 +269,13 @@ def main() -> None:
 
     from tpu_pillars.train.elastic import GracefulShutdown, Heartbeat, NaNGuard
 
-    with JsonlLogger(f"{args.out}/train.jsonl", echo=True) as logger, \
+    logger_ctx = JsonlLogger(f"{args.out}/train.jsonl", echo=True)
+    if args.tensorboard:
+        from tpu_pillars.utils.tensorboard import TeeLogger, TensorBoardWriter
+
+        logger_ctx = TeeLogger(logger_ctx,
+                               TensorBoardWriter(f"{args.out}/tb"))
+    with logger_ctx as logger, \
             GracefulShutdown() as shutdown:
         logger.log("start", steps=args.steps, batch=args.batch,
                    resumed_at=start, backend=jax.default_backend(),
