@@ -1,0 +1,181 @@
+"""Fused training front end (ops/fused_pfn.py pfn_train_from_table +
+train/step.py fused_frontend): decorated-space Dense + masked BatchNorm
+(batch stats) + ReLU + masked max, computed decoration-free from the flat
+emit table with BN moments from sufficient statistics.
+
+Same algebra as the classic path at different rounding — parity is pinned
+to tolerance (see the bit-identity-across-XLA-programs note: fma fusion is
+context-dependent), while the classic path keeps its exact-contract tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pillars.config import tiny_config
+from tpu_pillars.ops.fused_pfn import (
+    emit_centered_table,
+    fold_decoration,
+    pfn_from_table,
+    pfn_from_table_xla,
+    pfn_train_from_table,
+)
+from tpu_pillars.ops.pfn_pallas import fold_bn
+from tpu_pillars.ops.voxelize import pillarize_batch, scatter_to_bev
+
+CFG = tiny_config()
+EPS = 1e-3  # MaskedBatchNorm default — pfn_train_from_table must match
+
+
+def _cloud(rng, ns, cfg=CFG, f=4):
+    pts = np.full((len(ns), cfg.max_points, f), 1e6, dtype=np.float32)
+    for i, n in enumerate(ns):
+        pts[i, :n, 0] = rng.uniform(cfg.x_min - 2, cfg.x_max + 2, n)
+        pts[i, :n, 1] = rng.uniform(cfg.y_min - 2, cfg.y_max + 2, n)
+        pts[i, :n, 2] = rng.uniform(cfg.z_min, cfg.z_max, n)
+        pts[i, :n, 3] = rng.uniform(0, 1, n)
+    return jnp.asarray(pts), jnp.asarray(ns, jnp.int32)
+
+
+def _pfn_weights(rng, cfg=CFG):
+    D, C = cfg.num_decorated_features, cfg.pfn_channels
+    w = jnp.asarray(rng.normal(size=(D, C)).astype(np.float32)) * 0.3
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.1
+    return w, scale, bias
+
+
+def _classic_train_pfn(batch, w, scale, bias):
+    """Reference: decorate (already in batch.features) -> linear -> masked
+    batch-stat BN -> relu -> masked max (models/pfn.py algebra)."""
+    y = jnp.einsum("bpnd,dc->bpnc", batch.features, w)
+    fm = batch.mask[..., None].astype(jnp.float32)
+    n = jnp.maximum(fm.sum(), 1.0)
+    mean = (y * fm).sum(axis=(0, 1, 2)) / n
+    var = (((y - mean) ** 2) * fm).sum(axis=(0, 1, 2)) / n
+    yn = (y - mean) * jax.lax.rsqrt(var + EPS) * scale + bias
+    yn = jnp.maximum(yn, 0.0)
+    yn = jnp.where(batch.mask[..., None], yn, -1e9)
+    pooled = jnp.max(yn, axis=2)
+    feats = jnp.where(batch.pillar_mask[..., None], pooled, 0.0)
+    return feats, mean, var
+
+
+def test_xla_twin_matches_kernel(rng):
+    pts, ns = _cloud(rng, [3000, 1500])
+    w, scale, bias = _pfn_weights(rng)
+    mean = jnp.asarray(rng.normal(size=(CFG.pfn_channels,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, CFG.pfn_channels), jnp.float32)
+    wf, bf = fold_bn(w, scale, bias, mean, var)
+    w_eff, w_dec = fold_decoration(wf, bf, CFG)
+    table, meta = emit_centered_table(pts, ns, CFG, interpret=True)
+    f_k, pid_k, cnt_k = pfn_from_table(table, meta, w_eff, w_dec, CFG,
+                                       interpret=True)
+    f_x, pid_x, cnt_x = pfn_from_table_xla(table, meta, w_eff, w_dec, CFG)
+    np.testing.assert_array_equal(np.asarray(pid_k), np.asarray(pid_x))
+    np.testing.assert_array_equal(np.asarray(cnt_k), np.asarray(cnt_x))
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_train_stats_match_masked_bn(rng):
+    pts, ns = _cloud(rng, [3000, 4096, 1, 0])
+    w, scale, bias = _pfn_weights(rng)
+    batch = pillarize_batch(pts, ns, CFG)
+    _, mean_ref, var_ref = _classic_train_pfn(batch, w, scale, bias)
+    table, meta = emit_centered_table(pts, ns, CFG, interpret=True)
+    _, _, _, mean, var = pfn_train_from_table(table, meta, w, scale, bias,
+                                              CFG)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_train_feats_match_classic_on_canvas(rng):
+    pts, ns = _cloud(rng, [3000, 2000])
+    w, scale, bias = _pfn_weights(rng)
+    batch = pillarize_batch(pts, ns, CFG)
+    feats_ref, _, _ = _classic_train_pfn(batch, w, scale, bias)
+    canvas_ref = scatter_to_bev(feats_ref, batch.coords, batch.pillar_mask,
+                                CFG)
+    table, meta = emit_centered_table(pts, ns, CFG, interpret=True)
+    feats, pid, cnt, _, _ = pfn_train_from_table(table, meta, w, scale,
+                                                 bias, CFG)
+    P = CFG.max_pillars
+    feats, pid, cnt = feats[:, :P], pid[:, :P], cnt[:, :P]
+    coords = jnp.stack([pid // CFG.grid_w, pid % CFG.grid_w], axis=-1)
+    canvas = scatter_to_bev(feats, coords, cnt > 0.0, CFG)
+    np.testing.assert_allclose(np.asarray(canvas), np.asarray(canvas_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_train_grads_match_classic(rng):
+    pts, ns = _cloud(rng, [2500, 1200])
+    w, scale, bias = _pfn_weights(rng)
+    batch = pillarize_batch(pts, ns, CFG)
+    table, meta = emit_centered_table(pts, ns, CFG, interpret=True)
+    P = CFG.max_pillars
+
+    def loss_classic(args):
+        w_, s_, b_ = args
+        feats, _, _ = _classic_train_pfn(batch, w_, s_, b_)
+        canvas = scatter_to_bev(feats, batch.coords, batch.pillar_mask, CFG)
+        return jnp.sum(jnp.sin(canvas))  # nonlinear probe
+
+    def loss_fused(args):
+        w_, s_, b_ = args
+        feats, pid, cnt, _, _ = pfn_train_from_table(table, meta, w_, s_,
+                                                     b_, CFG)
+        feats, pid, cnt = feats[:, :P], pid[:, :P], cnt[:, :P]
+        coords = jnp.stack([pid // CFG.grid_w, pid % CFG.grid_w], axis=-1)
+        canvas = scatter_to_bev(feats, coords, cnt > 0.0, CFG)
+        return jnp.sum(jnp.sin(canvas))
+
+    v_c, g_c = jax.value_and_grad(loss_classic)((w, scale, bias))
+    v_f, g_f = jax.value_and_grad(loss_fused)((w, scale, bias))
+    np.testing.assert_allclose(float(v_f), float(v_c), rtol=1e-4)
+    for a, b, name in zip(g_c, g_f, ("w", "scale", "bias")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch: {name}")
+
+
+def test_fused_train_step_matches_classic(rng):
+    from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+    from tpu_pillars.train import (
+        TrainBatch, TrainConfig, create_train_state, make_train_step,
+    )
+
+    cfg = CFG
+    scenes = [make_scene(rng, cfg, num_objects=6, points_per_object=60,
+                         clutter=400) for _ in range(2)]
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=16, total_steps=10)
+    batch = TrainBatch(*scenes_to_train_batch(scenes, cfg, tcfg.max_gt_boxes))
+
+    state_c = create_train_state(cfg, tcfg)
+    state_f = create_train_state(cfg, tcfg)
+    step_c = jax.jit(make_train_step(cfg, fused_frontend=False))
+    step_f = jax.jit(make_train_step(cfg, fused_frontend=True))
+
+    for i in range(3):
+        state_c, losses_c = step_c(state_c, batch)
+        state_f, losses_f = step_f(state_f, batch)
+        np.testing.assert_allclose(float(losses_f.total),
+                                   float(losses_c.total),
+                                   rtol=2e-3, err_msg=f"step {i}")
+        assert int(losses_f.num_pos) == int(losses_c.num_pos)
+
+    # pfn running stats were updated by the fused path's own formula
+    bn_c = jax.tree.map(np.asarray, state_c.batch_stats["pfn"]["bn"])
+    bn_f = jax.tree.map(np.asarray, state_f.batch_stats["pfn"]["bn"])
+    assert not np.allclose(bn_f["mean"], 0.0)
+    np.testing.assert_allclose(bn_f["mean"], bn_c["mean"], rtol=1e-2,
+                               atol=1e-4)
+    np.testing.assert_allclose(bn_f["var"], bn_c["var"], rtol=1e-2,
+                               atol=1e-4)
+    # params stay in lockstep to tolerance
+    flat_c = jax.tree.leaves(state_c.params)
+    flat_f = jax.tree.leaves(state_f.params)
+    for a, b in zip(flat_c, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)

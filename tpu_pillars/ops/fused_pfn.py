@@ -200,25 +200,158 @@ def pfn_from_table(table_flat, meta, w_eff, w_dec, config: PillarsConfig,
     return out.reshape(B, p_pad, C), pid_per, cnt
 
 
-def pillarize_pfn_fused(points, num_points, w, b, config: PillarsConfig,
-                        interpret: bool | None = None):
-    """The fused serving front end: (B, M, F) points + folded decorated-
-    space PFN weights (fold_bn output) ->
-      (pillar_feats (B, P, C) f32, pid_per (B, P) int32,
-       pillar_mask (B, P) bool)
-    — ready for the BEV scatter. Replaces pillarize + decorate + PFN."""
-    P = config.max_pillars
+def pfn_from_table_xla(table_flat, meta, w_eff, w_dec, config: PillarsConfig):
+    """Differentiable XLA twin of :func:`pfn_from_table` (same inputs, same
+    outputs, same -1e9 mask / t-bias semantics; plain jnp ops so autodiff
+    flows to the weights). The TRAINING front end uses this one — gradients
+    through a pallas_call would need a hand-written VJP, and the training
+    step's consumer (fwd+bwd) recomputes under remat anyway. Unlike the
+    kernel it has no power-of-two points/pillar requirement.
+
+    Layout note: the (rows*N, F) matmul operand has a tiny contraction dim
+    (F <= 8); XLA pads it to a sublane tile. That is still far cheaper than
+    the kron form's N-fold redundant FLOPs would be under autodiff (the
+    backward would materialize the (lanes, N*C) gradient)."""
     N = config.max_points_per_pillar
+    F, C = w_eff.shape
+    p_pad = meta.shape[1]
+    B = meta.shape[0] // 8
+    rows = B * p_pad
+    m = meta.reshape(B, 8, p_pad)
+    cnt = m[:, 0].reshape(rows)                              # kept points
+    pid = m[:, 1].reshape(rows).astype(jnp.int32)
+    sums = m[:, 2:5]                                         # x'/y'/z sums
+
+    X = table_flat[:, :N * F].reshape(rows, N, F)
+    seg = jnp.arange(N, dtype=jnp.float32)
+    mask = seg[None, :] < cnt[:, None]                       # (rows, N)
+    u = (X.reshape(rows * N, F) @ w_eff).reshape(rows, N, C)
+    u = jnp.where(mask[..., None], u, -1e9)
+    smax = jnp.max(u, axis=1)                                # (rows, C)
+
+    col = (pid % config.grid_w).astype(jnp.float32)
+    row = (pid // config.grid_w).astype(jnp.float32)
+    cx = (config.x_min + (col + 0.5) * config.voxel_x)[:, None]
+    cy = (config.y_min + (row + 0.5) * config.voxel_y)[:, None]
+    inv_cnt = (1.0 / jnp.maximum(cnt, 1.0))[:, None]
+    mx = sums[:, 0].reshape(rows)[:, None] * inv_cnt
+    my = sums[:, 1].reshape(rows)[:, None] * inv_cnt
+    mz = sums[:, 2].reshape(rows)[:, None] * inv_cnt
+    t = (w_dec[5][None] - mx * w_dec[0][None] - my * w_dec[1][None]
+         - mz * w_dec[2][None] - cx * w_dec[3][None] - cy * w_dec[4][None])
+    out = jnp.where((cnt > 0.0)[:, None],
+                    jnp.maximum(smax + t, 0.0), 0.0)
+    return (out.reshape(B, p_pad, C), pid.reshape(B, p_pad),
+            cnt.reshape(B, p_pad))
+
+
+def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
+                         config: PillarsConfig, eps: float = 1e-3):
+    """Train-mode fused PFN: decorated-space Dense + masked BatchNorm (batch
+    statistics) + ReLU + masked max, WITHOUT materializing the decorated
+    (B, P, N, 9) or post-linear (B, P, N, C) tensors for the statistics.
+
+    The masked-BN batch moments of y = W^T d are computed from SUFFICIENT
+    STATISTICS of the flat emit table: with y_j = W_eff^T r'_j + t_{p(j)}
+    (module docstring), per-channel
+
+        E[y]  = (W_eff^T Σr' + Σ_p cnt_p t_p) / n
+        E[y²] = (diag(W_eff^T S W_eff) + 2 Σ_p t_p·(s_p W_eff)
+                 + Σ_p cnt_p t_p²) / n,      S = Σ r' r'^T  (F x F)
+
+    so the statistics pass touches only (rows, F) reductions and F x F
+    matmuls. The batch-stat affine then FOLDS into the weights exactly like
+    inference fold_bn, and one :func:`pfn_from_table_xla` pass produces the
+    features. Same algebra as models.pfn.MaskedBatchNorm (biased variance,
+    count clamped to >= 1), different rounding — parity is pinned to
+    tolerance in tests, not bit-equality.
+
+    w: decorated-space PFN kernel (D, C) (Dense has no bias); bn_scale /
+    bn_bias: (C,) BatchNorm affine. eps must match MaskedBatchNorm's (1e-3).
+
+    Returns (feats (B, P_pad, C) f32, pid (B, P_pad) int32,
+    cnt (B, P_pad) f32, batch_mean (C,), batch_var (C,)) — the caller owns
+    the running-average update.
+    """
+    N = config.max_points_per_pillar
+    P = config.max_pillars
+    F = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
+    C = w.shape[1]
+    assert w.shape[0] == F + 5, (w.shape, F)
+    p_pad = meta.shape[1]
+    B = meta.shape[0] // 8
+    rows = B * p_pad
+    m = meta.reshape(B, 8, p_pad)
+    # pillars beyond the budget never reach the model — exclude their points
+    # from the statistics exactly like the classic path's pillar_mask
+    in_budget = (jnp.arange(p_pad) < P)[None, :]             # (B, p_pad)
+    cnt = jnp.where(in_budget, m[:, 0], 0.0).reshape(rows)
+    pid = m[:, 1].reshape(rows).astype(jnp.int32)
+
+    X = table_flat[:, :N * F].reshape(rows, N, F)
+    seg = jnp.arange(N, dtype=jnp.float32)
+    mask = (seg[None, :] < cnt[:, None]).astype(jnp.float32)
+    Xm = X * mask[..., None]
+    n = jnp.maximum(jnp.sum(cnt), 1.0)
+
+    hp = jax.lax.Precision.HIGHEST  # F x F stats: exact f32 passes, ~free
+    s_p = jnp.sum(Xm, axis=1)                                # (rows, F)
+    sbar = jnp.sum(s_p, axis=0)                              # (F,)
+    S = jax.lax.dot_general(Xm.reshape(rows * N, F), Xm.reshape(rows * N, F),
+                            (((0,), (0,)), ((), ())), precision=hp)  # (F, F)
+
+    w_eff, _ = fold_decoration(w, jnp.zeros((C,), w.dtype), config)
+    # per-pillar decoration bias t (Dense has no bias): t = cx w_x + cy w_y
+    # - mx' w_xc - my' w_yc - mz w_zc   (locals x' = x - cell center)
+    col = (pid % config.grid_w).astype(jnp.float32)
+    row = (pid // config.grid_w).astype(jnp.float32)
+    cx = (config.x_min + (col + 0.5) * config.voxel_x)[:, None]
+    cy = (config.y_min + (row + 0.5) * config.voxel_y)[:, None]
+    inv_cnt = (1.0 / jnp.maximum(cnt, 1.0))[:, None]
+    mean_xyz = s_p[:, :3] * inv_cnt                          # mx', my', mz
+    t = (cx * w[0][None] + cy * w[1][None]
+         - mean_xyz[:, 0:1] * w[F + 0][None]
+         - mean_xyz[:, 1:2] * w[F + 1][None]
+         - mean_xyz[:, 2:3] * w[F + 2][None])                # (rows, C)
+    t = jnp.where((cnt > 0.0)[:, None], t, 0.0)  # empty/sentinel rows: no term
+
+    m_p = jnp.matmul(s_p, w_eff, precision=hp)               # (rows, C)
+    mean = (jnp.matmul(sbar, w_eff, precision=hp)
+            + jnp.sum(cnt[:, None] * t, axis=0)) / n
+    e_u2 = jnp.einsum("fc,fg,gc->c", w_eff, S, w_eff, precision=hp) / n
+    e_ut = jnp.sum(t * m_p, axis=0) / n
+    e_t2 = jnp.sum(cnt[:, None] * t * t, axis=0) / n
+    var = jnp.maximum(e_u2 + 2.0 * e_ut + e_t2 - mean * mean, 0.0)
+
+    # fold the batch-stat affine into the weights (inference fold_bn form)
+    a = bn_scale * jax.lax.rsqrt(var + eps)
+    w_fold = w * a[None, :]
+    b_fold = bn_bias - mean * a
+    w_eff2, w_dec2 = fold_decoration(w_fold, b_fold, config)
+    feats, pid_out, cnt_out = pfn_from_table_xla(table_flat, meta,
+                                                 w_eff2, w_dec2, config)
+    return feats, pid_out, cnt_out, mean, var
+
+
+def emit_centered_table(points, num_points, config: PillarsConfig,
+                        interpret: bool | None = None):
+    """Shared fused-front-end head: sort by pillar id, CELL-CENTER the
+    payload, run the emit kernel. Returns (table (B*P_pad, lanes) f32,
+    meta (B*8, P_pad) f32) — the inputs of pfn_from_table[/_xla] and
+    pfn_train_from_table.
+
+    Cell-centering (exact f32 subtracts) matters for PRECISION: downstream
+    matmuls are single-pass bf16 on the MXU, and bf16(raw x ~ 100 m)
+    quantizes at ~0.3 m; +-voxel-scale locals keep the box-regression-
+    critical offsets exact. Invalid rows (pid == HW) get a harmless
+    out-of-grid center; they are never kept. Meta sums become sums of
+    locals, which is exactly what fold_decoration's t expects."""
+    P = config.max_pillars
     HW = config.grid_h * config.grid_w
+    N = config.max_points_per_pillar
     F = points.shape[-1]
 
     gid_s, pts_s = sort_points_by_pillar(points, num_points, config)
-    # CELL-CENTER the sorted payload (exact f32 subtracts): the kernel's
-    # single-pass bf16 matmul then quantizes +-voxel-scale locals instead
-    # of +-100 m raw coordinates — the box-regression-critical offsets
-    # (xc, xp) keep their precision. Invalid rows (pid == HW) get a
-    # harmless out-of-grid center; they are never kept. Meta sums become
-    # sums of locals, which is exactly what fold_decoration's t expects.
     col = (gid_s % config.grid_w).astype(jnp.float32)
     row = (gid_s // config.grid_w).astype(jnp.float32)
     cx = config.x_min + (col + 0.5) * config.voxel_x
@@ -228,8 +361,20 @@ def pillarize_pfn_fused(points, num_points, w, b, config: PillarsConfig,
         (pts_s[..., 1] - cy)[..., None],
         pts_s[..., 2:],
     ], axis=-1)
-    table, meta = emit_table_flat(gid_s, pts_s, N, F, P, HW,
-                                  interpret=interpret)
+    return emit_table_flat(gid_s, pts_s, N, F, P, HW, interpret=interpret)
+
+
+def pillarize_pfn_fused(points, num_points, w, b, config: PillarsConfig,
+                        interpret: bool | None = None):
+    """The fused serving front end: (B, M, F) points + folded decorated-
+    space PFN weights (fold_bn output) ->
+      (pillar_feats (B, P, C) f32, pid_per (B, P) int32,
+       pillar_mask (B, P) bool)
+    — ready for the BEV scatter. Replaces pillarize + decorate + PFN."""
+    P = config.max_pillars
+
+    table, meta = emit_centered_table(points, num_points, config,
+                                      interpret=interpret)
     w_eff, w_dec = fold_decoration(w, b, config)
     feats, pid_per, cnt = pfn_from_table(table, meta, w_eff, w_dec, config,
                                          interpret=interpret)

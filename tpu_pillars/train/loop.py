@@ -163,6 +163,10 @@ def main() -> None:
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny smoke config")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-fused-frontend", action="store_true",
+                   help="force the classic pillarize+decorate+PFN train "
+                        "forward instead of the fused emit-table front end "
+                        "(TPU default; see ops/fused_pfn.py)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 activations, "
                         "f32 params/optimizer/BN stats/losses")
@@ -283,7 +287,8 @@ def main() -> None:
         import jax.numpy as jnp
 
         step_fn = jax.jit(make_train_step(
-            config, compute_dtype=jnp.dtype(tcfg.compute_dtype)))
+            config, compute_dtype=jnp.dtype(tcfg.compute_dtype),
+            fused_frontend=False if args.no_fused_frontend else None))
         fit(state, batches, steps=max(0, args.steps - start), config=config,
             step_fn=step_fn, logger=logger, ckpt_path=ckpt_path,
             eval_fn=eval_fn, eval_every=args.eval_every or 1000,

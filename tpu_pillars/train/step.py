@@ -40,7 +40,8 @@ class TrainBatch(NamedTuple):
 def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                     max_gt_per_class: int = 16,
                     compute_dtype=jnp.float32, remat: bool = True,
-                    assigner: str = "auto"):
+                    assigner: str = "auto",
+                    fused_frontend: bool | None = None):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
     (state, batch): jit, or shard_map over a mesh for data parallelism.
 
@@ -59,9 +60,22 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     are recomputed in the backward pass instead of saved, trading a few
     percent of step time for the memory that caps batch size (the
     (B, P, N, 64) PFN and (B, 400, 400, C) conv intermediates). Numerics
-    are identical either way (tests pin bit-equality)."""
+    are identical either way (tests pin bit-equality).
+
+    fused_frontend: None = auto (TPU only) — run the TRAIN forward's
+    pillarize + decorate + PFN as the decoration-free fused front end
+    (ops.fused_pfn.pfn_train_from_table): masked-BN batch statistics from
+    F x F sufficient statistics of the flat emit table, folded into the
+    weights, one differentiable pass — the decorated (B, P, N, 9) and
+    two-pass-BN (B, P, N, C) tensors never materialize in either fwd or
+    bwd. Same algebra as the classic path, different rounding (losses
+    agree to tolerance, tests pin it); the fused PFN runs f32 even under
+    compute_dtype=bf16 (its matmul is one bf16 MXU pass anyway — the
+    standard TPU f32 default)."""
     model = PointPillars(config, use_running_average=False,
                          dtype=compute_dtype, remat=remat)
+    if fused_frontend is None:
+        fused_frontend = jax.default_backend() == "tpu"
 
     pillarize_b = partial(pillarize_batch_auto, config=config)
     # assigner: "auto" = the windowed Pallas kernel on TPU (49.3 vs
@@ -79,11 +93,7 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         assign_b = jax.vmap(make_classwise_assigner(
             config, max_gt_per_class=max_gt_per_class, iou_chunk=iou_chunk))
 
-    def loss_fn(params, batch_stats, pb: PillarBatch, batch: TrainBatch):
-        outputs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, pb,
-            mutable=["batch_stats"],
-        )
+    def _loss_from_outputs(outputs, batch):
         targets = assign_b(batch.gt_boxes, batch.gt_classes, batch.gt_valid)
         losses = jax.vmap(
             lambda c, b, d, t: detection_loss(c, b, d, t, config)
@@ -98,15 +108,69 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
             dir=jnp.mean(losses.dir),
             num_pos=jnp.sum(losses.num_pos),
         )
+        return total, summary
+
+    def loss_fn(params, batch_stats, pb: PillarBatch, batch: TrainBatch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, pb,
+            mutable=["batch_stats"],
+        )
+        total, summary = _loss_from_outputs(outputs, batch)
         return total, (summary, mutated["batch_stats"])
+
+    def loss_fn_fused(params, batch_stats, table, meta, batch: TrainBatch):
+        from tpu_pillars.ops.fused_pfn import pfn_train_from_table
+        from tpu_pillars.ops.voxelize import scatter_to_bev
+
+        p = params["pfn"]
+
+        def pfn_feats(w, scale, bias):
+            return pfn_train_from_table(table, meta, w, scale, bias, config)
+
+        # remat: the (rows, N, C) pre-max activation is the fused path's
+        # only big intermediate — recompute it in the backward pass
+        fn = jax.checkpoint(pfn_feats) if remat else pfn_feats
+        feats, pid, cnt, b_mean, b_var = fn(
+            p["linear"]["kernel"], p["bn"]["scale"], p["bn"]["bias"])
+        P = config.max_pillars
+        feats, pid, cnt = feats[:, :P], pid[:, :P], cnt[:, :P]
+        coords = jnp.stack([pid // config.grid_w, pid % config.grid_w],
+                           axis=-1)
+        canvas = scatter_to_bev(feats.astype(compute_dtype), coords,
+                                cnt > 0.0, config)
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, canvas,
+            method=PointPillars.detect_from_canvas, mutable=["batch_stats"],
+        )
+        # the pfn module never ran — its running stats are this path's job
+        # (same momentum/eps as models.pfn.MaskedBatchNorm defaults)
+        mom = 0.99
+        old = batch_stats["pfn"]["bn"]
+        new_stats = dict(mutated["batch_stats"])
+        new_stats["pfn"] = {"bn": {
+            "mean": mom * old["mean"] + (1.0 - mom) * b_mean,
+            "var": mom * old["var"] + (1.0 - mom) * b_var,
+        }}
+        total, summary = _loss_from_outputs(outputs, batch)
+        return total, (summary, new_stats)
 
     def train_step(state: TrainState, batch: TrainBatch
                    ) -> Tuple[TrainState, LossBreakdown]:
-        pb = pillarize_b(batch.points, batch.num_points)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, pb, batch
-        )
+        if fused_frontend:
+            from tpu_pillars.ops.fused_pfn import emit_centered_table
+
+            table, meta = emit_centered_table(batch.points,
+                                              batch.num_points, config)
+            grad_fn = jax.value_and_grad(loss_fn_fused, has_aux=True)
+            (_, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, table, meta, batch
+            )
+        else:
+            pb = pillarize_b(batch.points, batch.num_points)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, pb, batch
+            )
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(
