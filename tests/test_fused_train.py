@@ -141,6 +141,15 @@ def test_train_grads_match_classic(rng):
             err_msg=f"grad mismatch: {name}")
 
 
+def _tiny_train_batch(rng, cfg, batch_size, max_gt=16):
+    from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
+    from tpu_pillars.train import TrainBatch
+
+    scenes = [make_scene(rng, cfg, num_objects=6, points_per_object=60,
+                         clutter=400) for _ in range(batch_size)]
+    return TrainBatch(*scenes_to_train_batch(scenes, cfg, max_gt))
+
+
 def test_fused_train_step_matches_classic(rng):
     from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
     from tpu_pillars.train import (
@@ -179,3 +188,68 @@ def test_fused_train_step_matches_classic(rng):
     flat_f = jax.tree.leaves(state_f.params)
     for a, b in zip(flat_c, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
+def test_fused_train_step_multisweep(rng):
+    """Config-#4 shape: num_sweeps>1 adds the dt raw channel (F=5) — the
+    fused front end's F/meta plumbing must track it."""
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.train import TrainConfig, create_train_state, \
+        make_train_step
+
+    cfg = tiny_config(num_sweeps=3, max_points=8192, max_pillars=768,
+                      max_points_per_pillar=24)
+    assert cfg.num_decorated_features == 10
+    batch = _tiny_train_batch(rng, cfg, 2)
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=16, total_steps=10)
+
+    state_c = create_train_state(cfg, tcfg)
+    state_f = create_train_state(cfg, tcfg)
+    step_c = jax.jit(make_train_step(cfg, fused_frontend=False))
+    step_f = jax.jit(make_train_step(cfg, fused_frontend=True))
+    for i in range(2):
+        state_c, losses_c = step_c(state_c, batch)
+        state_f, losses_f = step_f(state_f, batch)
+        np.testing.assert_allclose(float(losses_f.total),
+                                   float(losses_c.total),
+                                   rtol=2e-3, err_msg=f"step {i}")
+        assert int(losses_f.num_pos) == int(losses_c.num_pos)
+
+
+def test_fused_train_step_dp_mesh(rng):
+    """fused_frontend=True under the GSPMD DP wrapper on the fake 8-device
+    mesh: global-batch semantics must match the single-device fused step
+    (same batch, replicated state) — pins that the fused front end's emit
+    table + sufficient-statistics BN survive sharded lowering."""
+    from tpu_pillars.parallel import make_mesh
+    from tpu_pillars.parallel.train_dp import (
+        make_dp_train_step, shard_train_batch,
+    )
+    from tpu_pillars.train import TrainConfig, create_train_state, \
+        make_train_step
+
+    cfg = CFG
+    batch = _tiny_train_batch(rng, cfg, 8)
+    tcfg = TrainConfig(batch_size=8, max_gt_boxes=16, total_steps=10)
+    mesh = make_mesh()
+
+    state_1 = create_train_state(cfg, tcfg)
+    state_8 = create_train_state(cfg, tcfg)
+    step_1 = jax.jit(make_train_step(cfg, fused_frontend=True))
+    step_8 = make_dp_train_step(cfg, mesh, fused_frontend=True)
+    sharded = shard_train_batch(batch, mesh)
+
+    for i in range(2):
+        state_1, losses_1 = step_1(state_1, batch)
+        state_8, losses_8 = step_8(state_8, sharded)
+        np.testing.assert_allclose(float(losses_8.total),
+                                   float(losses_1.total),
+                                   rtol=1e-4, err_msg=f"step {i}")
+        assert int(losses_8.num_pos) == int(losses_1.num_pos)
+    # sharded reductions reorder float sums, and early Adam steps amplify
+    # tiny grad deltas through rsqrt of near-zero second moments (~3e-4
+    # worst element observed). Real collective bugs diverge at O(1); bound
+    # loosely here — the loss/num_pos lockstep above is the tight check.
+    for a, b in zip(jax.tree.leaves(state_1.params),
+                    jax.tree.leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)

@@ -130,6 +130,13 @@ class PillarsConfig:
         return self.feature_h * self.feature_w * self.anchors_per_loc
 
     @property
+    def num_input_features(self) -> int:
+        """Columns of the raw point cloud the pipeline ingests: x,y,z,i
+        (num_raw_features) plus the sweep-lag dt channel when multi-sweep
+        accumulation is on."""
+        return self.num_raw_features + (1 if self.num_sweeps > 1 else 0)
+
+    @property
     def num_decorated_features(self) -> int:
         dt = 1 if self.num_sweeps > 1 else 0
         return self.num_raw_features + 5 + dt

@@ -93,7 +93,14 @@ def make_scene(rng: np.random.Generator, config: PillarsConfig,
 
     xyz = np.concatenate(pts, axis=0)
     intensity = rng.uniform(0, 1, len(xyz))[:, None]
-    points = np.concatenate([xyz, intensity], axis=1).astype(np.float32)
+    cols = [xyz, intensity]
+    if config.num_sweeps > 1:
+        # sweep-lag dt channel (config #4): each point tagged with one of
+        # num_sweeps discrete lags, keyframe (dt=0) most populated
+        lags = np.arange(config.num_sweeps, dtype=np.float32) * 0.1
+        w = 1.0 / (1.0 + np.arange(config.num_sweeps))
+        cols.append(rng.choice(lags, len(xyz), p=w / w.sum())[:, None])
+    points = np.concatenate(cols, axis=1).astype(np.float32)
     rng.shuffle(points, axis=0)
 
     names = config.class_names
@@ -106,7 +113,7 @@ def scenes_to_train_batch(scenes, config: PillarsConfig, max_gt_boxes: int):
     """Pad a list of scenes into a static-shape TrainBatch-compatible tuple
     (points, num_points, gt_boxes, gt_classes, gt_valid), all NumPy."""
     B = len(scenes)
-    pts = np.full((B, config.max_points, config.num_raw_features), 1e6,
+    pts = np.full((B, config.max_points, config.num_input_features), 1e6,
                   np.float32)
     npts = np.zeros((B,), np.int32)
     gb = np.zeros((B, max_gt_boxes, 7), np.float32)
@@ -114,7 +121,7 @@ def scenes_to_train_batch(scenes, config: PillarsConfig, max_gt_boxes: int):
     gv = np.zeros((B, max_gt_boxes), bool)
     for i, scene in enumerate(scenes):
         n = min(len(scene.points), config.max_points)
-        pts[i, :n] = scene.points[:n, : config.num_raw_features]
+        pts[i, :n] = scene.points[:n, : config.num_input_features]
         npts[i] = n
         g = min(len(scene.gt_boxes), max_gt_boxes)
         gb[i, :g] = scene.gt_boxes[:g]

@@ -15,10 +15,13 @@ from tpu_pillars.train.step import TrainBatch, make_train_step
 
 
 def make_dp_train_step(config: PillarsConfig, mesh: Mesh,
-                       axis_name: str = "data", iou_chunk: int = 8192):
+                       axis_name: str = "data", iou_chunk: int = 8192,
+                       **step_kw):
     """Returns a jitted step(state, batch) with global-batch semantics:
-    per-shard forward/backward, XLA-inserted grad psum, replicated update."""
-    step = make_train_step(config, iou_chunk=iou_chunk)
+    per-shard forward/backward, XLA-inserted grad psum, replicated update.
+    Extra kwargs (compute_dtype, remat, fused_frontend, ...) pass through
+    to make_train_step."""
+    step = make_train_step(config, iou_chunk=iou_chunk, **step_kw)
     replicated = NamedSharding(mesh, P())
     batch_sharded = TrainBatch(
         points=NamedSharding(mesh, P(axis_name)),
