@@ -311,8 +311,7 @@ class Detector:
         self.wire_buckets = wire_buckets
         _wire_np = np.dtype(jnp.dtype(wire_dtype).name)
         self._wire_np = _wire_np
-        _f_expect = config.num_raw_features + (1 if config.num_sweeps > 1
-                                               else 0)
+        _f_expect = config.num_input_features
         if _wire_np == np.int16:
             span = max(abs(config.x_min), abs(config.x_max),
                        abs(config.y_min), abs(config.y_max),
@@ -380,7 +379,7 @@ class Detector:
         keep their FIRST max_points (in-range) rows; the drop is counted in
         self.truncation and warned (once per call site) — never silent."""
         cfg = self.config
-        f_expect = cfg.num_raw_features + (1 if cfg.num_sweeps > 1 else 0)
+        f_expect = cfg.num_input_features
         points = np.asarray(points, dtype=np.float32)
         points = points.reshape(-1, points.shape[-1] if points.size else f_expect)
         if points.shape[1] < f_expect:

@@ -84,7 +84,7 @@ def fold_decoration(w, b, config: PillarsConfig):
     Decorated layout (ops/voxelize.py decorate): raw F cols, then
     (xc, yc, zc) mean offsets, then (xp, yp) cell-center offsets.
     """
-    F = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
+    F = config.num_input_features
     C = w.shape[1]
     assert w.shape[0] == F + 5, (w.shape, F)
     w_eff = jnp.concatenate([
@@ -275,7 +275,7 @@ def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
     """
     N = config.max_points_per_pillar
     P = config.max_pillars
-    F = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
+    F = config.num_input_features
     C = w.shape[1]
     assert w.shape[0] == F + 5, (w.shape, F)
     p_pad = meta.shape[1]

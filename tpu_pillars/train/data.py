@@ -80,7 +80,7 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
         raise ValueError(
             f"dataset_batches: {len(tokens)} sample(s) < batch_size "
             f"{batch_size} — every epoch would be empty")
-    f_expect = config.num_raw_features + (1 if config.num_sweeps > 1 else 0)
+    f_expect = config.num_input_features
 
     def build_sample(j: int, srng: np.random.Generator):
         pts, b, c, v = sample_to_arrays(dataset, tokens[j], config,
