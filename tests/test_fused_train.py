@@ -11,6 +11,7 @@ context-dependent), while the classic path keeps its exact-contract tests.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_pillars.config import tiny_config
 from tpu_pillars.ops.fused_pfn import (
@@ -250,6 +251,47 @@ def test_fused_train_step_dp_mesh(rng):
     # tiny grad deltas through rsqrt of near-zero second moments (~3e-4
     # worst element observed). Real collective bugs diverge at O(1); bound
     # loosely here — the loss/num_pos lockstep above is the tight check.
+    for a, b in zip(jax.tree.leaves(state_1.params),
+                    jax.tree.leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_shardmap_train_step_matches_single(rng, fused):
+    """The explicit shard_map step (per-shard compute, psum'ed BN
+    statistics, pmean'ed grads) computes the same global-batch update as
+    the single-device step — losses, num_pos, params, AND the BN running
+    stats (sync-BN: per-shard moments must reduce to the global-batch
+    moments, not per-shard ones)."""
+    from tpu_pillars.parallel import make_mesh, make_shardmap_train_step
+    from tpu_pillars.parallel.train_dp import shard_train_batch
+    from tpu_pillars.train import TrainConfig, create_train_state, \
+        make_train_step
+
+    cfg = CFG
+    batch = _tiny_train_batch(rng, cfg, 8)
+    tcfg = TrainConfig(batch_size=8, max_gt_boxes=16, total_steps=10)
+    mesh = make_mesh()
+
+    state_1 = create_train_state(cfg, tcfg)
+    state_8 = create_train_state(cfg, tcfg)
+    step_1 = jax.jit(make_train_step(cfg, fused_frontend=fused))
+    step_8 = make_shardmap_train_step(cfg, mesh, fused_frontend=fused)
+    sharded = shard_train_batch(batch, mesh)
+
+    for i in range(2):
+        state_1, losses_1 = step_1(state_1, batch)
+        state_8, losses_8 = step_8(state_8, sharded)
+        np.testing.assert_allclose(float(losses_8.total),
+                                   float(losses_1.total),
+                                   rtol=1e-4, err_msg=f"step {i}")
+        assert int(losses_8.num_pos) == int(losses_1.num_pos)
+
+    # sync-BN: running stats must equal the single-device global-batch ones
+    bn_1 = jax.tree.map(np.asarray, state_1.batch_stats)
+    bn_8 = jax.tree.map(np.asarray, state_8.batch_stats)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        b, a, rtol=1e-3, atol=1e-5), bn_1, bn_8)
     for a, b in zip(jax.tree.leaves(state_1.params),
                     jax.tree.leaves(state_8.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)

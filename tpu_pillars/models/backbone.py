@@ -25,6 +25,7 @@ class ConvBlock(nn.Module):
     stride: int = 2
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +38,8 @@ class ConvBlock(nn.Module):
             )(x)
             x = nn.BatchNorm(
                 use_running_average=self.use_running_average,
-                momentum=0.99, epsilon=1e-3, dtype=self.dtype, name=f"bn{i}",
+                momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                axis_name=self.axis_name, name=f"bn{i}",
             )(x)
             x = nn.relu(x)
         return x
@@ -51,6 +53,7 @@ class UpBlock(nn.Module):
     stride: int
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -61,7 +64,8 @@ class UpBlock(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=self.use_running_average,
-            momentum=0.99, epsilon=1e-3, dtype=self.dtype, name="bn",
+            momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+            axis_name=self.axis_name, name="bn",
         )(x)
         return nn.relu(x)
 
@@ -82,6 +86,8 @@ class RPNBackbone(nn.Module):
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # psum BN batch stats over this mesh axis under shard_map (sync-BN)
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -92,14 +98,16 @@ class RPNBackbone(nn.Module):
             x = conv_cls(
                 ch, n, stride=2,
                 use_running_average=self.use_running_average,
-                dtype=self.dtype, name=f"block{i}",
+                dtype=self.dtype, axis_name=self.axis_name,
+                name=f"block{i}",
             )(x)
             # block i sits at stride 2^(i+1); head lives at stride 2
             ups.append(
                 up_cls(
                     self.up_channels, 2 ** i,
                     use_running_average=self.use_running_average,
-                    dtype=self.dtype, name=f"up{i}",
+                    dtype=self.dtype, axis_name=self.axis_name,
+                    name=f"up{i}",
                 )(x)
             )
         return jnp.concatenate(ups, axis=-1)

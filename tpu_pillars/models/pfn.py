@@ -19,12 +19,18 @@ import jax.numpy as jnp
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over the channel axis whose batch statistics ignore masked
     rows. Running stats live in the 'batch_stats' collection (same contract
-    as flax.linen.BatchNorm)."""
+    as flax.linen.BatchNorm).
+
+    axis_name: when set and running under shard_map/pmap, the masked count
+    and moment sums are psum'ed over that mesh axis — global-batch (sync-BN)
+    statistics from per-device shards, matching what GSPMD computes
+    automatically from the global view."""
 
     use_running_average: bool = True
     momentum: float = 0.99
     eps: float = 1e-3
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, mask):
@@ -40,14 +46,22 @@ class MaskedBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            reduce_axes = tuple(range(x.ndim - 1))
             fmask = mask[..., None].astype(jnp.float32)
-            count = jnp.maximum(jnp.sum(fmask), 1.0)
+            count = jnp.sum(fmask)
             xf = x.astype(jnp.float32)
-            mean = jnp.sum(xf * fmask, axis=tuple(range(x.ndim - 1))) / count
-            var = (
-                jnp.sum((xf - mean) ** 2 * fmask, axis=tuple(range(x.ndim - 1)))
-                / count
-            )
+            mean_num = jnp.sum(xf * fmask, axis=reduce_axes)
+            sync = (self.axis_name is not None
+                    and not self.is_initializing())
+            if sync:
+                count, mean_num = jax.lax.psum((count, mean_num),
+                                               self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = mean_num / count
+            var_num = jnp.sum((xf - mean) ** 2 * fmask, axis=reduce_axes)
+            if sync:
+                var_num = jax.lax.psum(var_num, self.axis_name)
+            var = var_num / count
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -63,13 +77,15 @@ class PillarFeatureNet(nn.Module):
     channels: int = 64
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, features, mask):
         x = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
                      name="linear")(features)
         x = MaskedBatchNorm(use_running_average=self.use_running_average,
-                            dtype=self.dtype, name="bn")(x, mask)
+                            dtype=self.dtype, axis_name=self.axis_name,
+                            name="bn")(x, mask)
         x = nn.relu(x)
         # masked max over the point axis; empty pillars -> 0
         neg = jnp.asarray(-1e9, x.dtype)

@@ -40,6 +40,9 @@ class PointPillars(nn.Module):
     # recomputed in the backward pass instead of saved — the training
     # memory lever (VERDICT r2 item 9). Identical numerics, same param tree.
     remat: bool = False
+    # psum BN batch statistics over this mesh axis when training under
+    # shard_map (sync-BN; see parallel.train_dp.make_shardmap_train_step)
+    axis_name: str | None = None
 
     def setup(self):
         cfg = self.config
@@ -48,13 +51,13 @@ class PointPillars(nn.Module):
         self.pfn = pfn_cls(
             channels=cfg.pfn_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype,
+            dtype=self.dtype, axis_name=self.axis_name,
         )
         self.rpn = RPNBackbone(
             channels=cfg.rpn_channels, layers=cfg.rpn_layers,
             up_channels=cfg.rpn_up_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=self.remat, axis_name=self.axis_name,
         )
         self.head = SSDHead(
             num_classes=cfg.num_classes,

@@ -246,7 +246,8 @@ def pfn_from_table_xla(table_flat, meta, w_eff, w_dec, config: PillarsConfig):
 
 
 def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
-                         config: PillarsConfig, eps: float = 1e-3):
+                         config: PillarsConfig, eps: float = 1e-3,
+                         axis_name: str | None = None):
     """Train-mode fused PFN: decorated-space Dense + masked BatchNorm (batch
     statistics) + ReLU + masked max, WITHOUT materializing the decorated
     (B, P, N, 9) or post-linear (B, P, N, C) tensors for the statistics.
@@ -272,6 +273,13 @@ def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
     Returns (feats (B, P_pad, C) f32, pid (B, P_pad) int32,
     cnt (B, P_pad) f32, batch_mean (C,), batch_var (C,)) — the caller owns
     the running-average update.
+
+    axis_name: when set (running per-shard under shard_map), the sufficient
+    statistics — n, Σr' (F,), S (F,F), and the three (C,) t-sums — are
+    psum'ed over that mesh axis before any division, giving EXACT
+    global-batch (sync-BN) moments from per-device shards. That is the
+    payoff of the sufficient-statistics form: cross-device sync-BN costs
+    one psum of ~(F² + 4C + F) floats instead of collecting canvases.
     """
     N = config.max_points_per_pillar
     P = config.max_pillars
@@ -292,7 +300,6 @@ def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
     seg = jnp.arange(N, dtype=jnp.float32)
     mask = (seg[None, :] < cnt[:, None]).astype(jnp.float32)
     Xm = X * mask[..., None]
-    n = jnp.maximum(jnp.sum(cnt), 1.0)
 
     hp = jax.lax.Precision.HIGHEST  # F x F stats: exact f32 passes, ~free
     s_p = jnp.sum(Xm, axis=1)                                # (rows, F)
@@ -316,11 +323,18 @@ def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
     t = jnp.where((cnt > 0.0)[:, None], t, 0.0)  # empty/sentinel rows: no term
 
     m_p = jnp.matmul(s_p, w_eff, precision=hp)               # (rows, C)
-    mean = (jnp.matmul(sbar, w_eff, precision=hp)
-            + jnp.sum(cnt[:, None] * t, axis=0)) / n
+    n_sum = jnp.sum(cnt)
+    t_cnt = jnp.sum(cnt[:, None] * t, axis=0)                # (C,)
+    t_mp = jnp.sum(t * m_p, axis=0)                          # (C,)
+    t_sq = jnp.sum(cnt[:, None] * t * t, axis=0)             # (C,)
+    if axis_name is not None:
+        n_sum, sbar, S, t_cnt, t_mp, t_sq = jax.lax.psum(
+            (n_sum, sbar, S, t_cnt, t_mp, t_sq), axis_name)
+    n = jnp.maximum(n_sum, 1.0)
+    mean = (jnp.matmul(sbar, w_eff, precision=hp) + t_cnt) / n
     e_u2 = jnp.einsum("fc,fg,gc->c", w_eff, S, w_eff, precision=hp) / n
-    e_ut = jnp.sum(t * m_p, axis=0) / n
-    e_t2 = jnp.sum(cnt[:, None] * t * t, axis=0) / n
+    e_ut = t_mp / n
+    e_t2 = t_sq / n
     var = jnp.maximum(e_u2 + 2.0 * e_ut + e_t2 - mean * mean, 0.0)
 
     # fold the batch-stat affine into the weights (inference fold_bn form)

@@ -8,6 +8,7 @@ no hand-written comm).
 from __future__ import annotations
 
 import jax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_pillars.config import PillarsConfig
@@ -35,6 +36,37 @@ def make_dp_train_step(config: PillarsConfig, mesh: Mesh,
         in_shardings=(replicated, batch_sharded),
         out_shardings=(replicated, replicated),
     )
+
+
+def make_shardmap_train_step(config: PillarsConfig, mesh: Mesh,
+                             axis_name: str = "data", iou_chunk: int = 8192,
+                             **step_kw):
+    """Explicit-collectives twin of :func:`make_dp_train_step`: the step runs
+    PER-SHARD under shard_map — each device pillarizes, assigns, and
+    differentiates its local batch slice, BN batch statistics ride a psum
+    (sync-BN; the fused front end reduces its F x F sufficient statistics,
+    the flax BNs their moments), and gradients are pmean'ed before a
+    replicated optimizer update (train/step.py axis_name plumbing).
+
+    Same global-batch semantics as the GSPMD version to float tolerance.
+    Prefer THIS formulation on real multi-chip meshes: the per-shard local
+    view hands the Pallas kernels (emit pillarizer, windowed assigner)
+    their device-local batch directly, instead of relying on the SPMD
+    partitioner to split a custom call it cannot see into.
+
+    Returns a jitted step(state, sharded_batch) -> (state, LossBreakdown);
+    shard the batch with :func:`shard_train_batch`."""
+    step = make_train_step(config, iou_chunk=iou_chunk, axis_name=axis_name,
+                           **step_kw)
+    batch_specs = TrainBatch(*([P(axis_name)] * 5))
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (post-pmean update on every shard) but the
+        # static vma checker cannot see that through the optimizer pytree
+        check_vma=False,
+    ))
 
 
 def shard_train_batch(batch: TrainBatch, mesh: Mesh,

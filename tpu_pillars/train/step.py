@@ -41,7 +41,8 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                     max_gt_per_class: int = 16,
                     compute_dtype=jnp.float32, remat: bool = True,
                     assigner: str = "auto",
-                    fused_frontend: bool | None = None):
+                    fused_frontend: bool | None = None,
+                    axis_name: str | None = None):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
     (state, batch): jit, or shard_map over a mesh for data parallelism.
 
@@ -71,9 +72,19 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     bwd. Same algebra as the classic path, different rounding (losses
     agree to tolerance, tests pin it); the fused PFN runs f32 even under
     compute_dtype=bf16 (its matmul is one bf16 MXU pass anyway — the
-    standard TPU f32 default)."""
+    standard TPU f32 default).
+
+    axis_name: set when the step runs PER-SHARD under shard_map (see
+    parallel.train_dp.make_shardmap_train_step). BN batch statistics are
+    psum'ed over that mesh axis (sync-BN: the fused path reduces its
+    sufficient statistics, the flax BNs reduce their moments), gradients
+    are pmean'ed before the optimizer, and the loss summary is reduced to
+    global-batch values — the step then computes the SAME update on every
+    shard as the GSPMD global-view formulation. Leave None under plain
+    jit/GSPMD."""
     model = PointPillars(config, use_running_average=False,
-                         dtype=compute_dtype, remat=remat)
+                         dtype=compute_dtype, remat=remat,
+                         axis_name=axis_name)
     if fused_frontend is None:
         fused_frontend = jax.default_backend() == "tpu"
 
@@ -125,7 +136,8 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         p = params["pfn"]
 
         def pfn_feats(w, scale, bias):
-            return pfn_train_from_table(table, meta, w, scale, bias, config)
+            return pfn_train_from_table(table, meta, w, scale, bias, config,
+                                        axis_name=axis_name)
 
         # remat: the (rows, N, C) pre-max activation is the fused path's
         # only big intermediate — recompute it in the backward pass
@@ -170,6 +182,15 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (losses, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, pb, batch
+            )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = LossBreakdown(
+                total=jax.lax.pmean(losses.total, axis_name),
+                cls=jax.lax.pmean(losses.cls, axis_name),
+                loc=jax.lax.pmean(losses.loc, axis_name),
+                dir=jax.lax.pmean(losses.dir, axis_name),
+                num_pos=jax.lax.psum(losses.num_pos, axis_name),
             )
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
