@@ -301,3 +301,29 @@ def test_detector_from_checkpoint_config_fingerprint(tmp_path, rng):
     other = tiny_config(max_pillars=256)
     with pytest.raises(ValueError, match="different"):
         Detector.from_checkpoint(other, path)
+
+
+def test_train_cli_dp(tmp_path):
+    """--dp N: the CLI trains data-parallel via the shard_map step on a
+    virtual 8-device CPU mesh — steps log finite losses and a checkpoint
+    lands."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "dp_run")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, "-m", "tpu_pillars.train.loop", "--steps", "10",
+         "--batch", "8", "--dp", "8", "--out", out, "--platform", "cpu",
+         "--prefetch", "0", "--seed", "0"],
+        env=env, cwd=repo, capture_output=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    with open(os.path.join(out, "train.jsonl")) as f:
+        events = [json.loads(line) for line in f if line.strip()]
+    steps = [e for e in events if e["event"] == "train_step"]
+    assert steps and np.isfinite(steps[-1]["loss"])
+    assert os.path.exists(os.path.join(out, "ckpt.msgpack"))

@@ -167,6 +167,11 @@ def main() -> None:
                    help="force the classic pillarize+decorate+PFN train "
                         "forward instead of the fused emit-table front end "
                         "(TPU default; see ops/fused_pfn.py)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel training over the first N local "
+                        "devices: per-shard shard_map step with sync-BN "
+                        "psums and pmean'd grads (parallel/train_dp.py). "
+                        "--batch must divide by N")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 activations, "
                         "f32 params/optimizer/BN stats/losses")
@@ -203,6 +208,22 @@ def main() -> None:
                        compute_dtype="bfloat16" if args.bf16 else "float32")
     state = create_train_state(config, tcfg,
                                rng_key=jax.random.PRNGKey(args.seed))
+
+    mesh = batch_sharding = None
+    if args.dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from tpu_pillars.parallel import make_mesh
+
+        devices = jax.devices()[: args.dp]
+        if len(devices) < args.dp:
+            raise SystemExit(f"--dp {args.dp}: only {len(devices)} "
+                             f"devices visible")
+        if args.batch % args.dp:
+            raise SystemExit(f"--batch {args.batch} must divide by "
+                             f"--dp {args.dp}")
+        mesh = make_mesh(devices)
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     ckpt_path = f"{args.out}/ckpt.msgpack"
     start = 0
@@ -262,14 +283,28 @@ def main() -> None:
         batches = itertools.islice(batches, start, None)
     if args.prefetch > 0:
         # content-preserving async staging (train/prefetch.py): batch k+1
-        # is built and h2d-copied while step k runs
+        # is built and h2d-copied while step k runs (sharded straight onto
+        # the mesh under --dp)
         from tpu_pillars.train.prefetch import device_prefetch
 
-        batches = device_prefetch(batches, size=args.prefetch)
+        batches = device_prefetch(batches, size=args.prefetch,
+                                  device=batch_sharding)
+    elif batch_sharding is not None:
+        batches = (jax.tree.map(
+            lambda x, s=batch_sharding: jax.device_put(x, s), b)
+            for b in batches)
 
     if eval_fn is None and args.eval_every > 0 and not args.data:
         eval_fn = make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
                                          seed=args.seed + 100_000)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+        if eval_fn is not None:
+            # the eval Detector runs single-device jits — hand it host
+            # copies of the replicated state, not mesh-committed arrays
+            eval_fn = (lambda st, _f=eval_fn: _f(jax.device_get(st)))
 
     from tpu_pillars.train.elastic import GracefulShutdown, Heartbeat, NaNGuard
 
@@ -286,9 +321,15 @@ def main() -> None:
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
         import jax.numpy as jnp
 
-        step_fn = jax.jit(make_train_step(
-            config, compute_dtype=jnp.dtype(tcfg.compute_dtype),
-            fused_frontend=False if args.no_fused_frontend else None))
+        step_kw = dict(
+            compute_dtype=jnp.dtype(tcfg.compute_dtype),
+            fused_frontend=False if args.no_fused_frontend else None)
+        if mesh is not None:
+            from tpu_pillars.parallel import make_shardmap_train_step
+
+            step_fn = make_shardmap_train_step(config, mesh, **step_kw)
+        else:
+            step_fn = jax.jit(make_train_step(config, **step_kw))
         fit(state, batches, steps=max(0, args.steps - start), config=config,
             step_fn=step_fn, logger=logger, ckpt_path=ckpt_path,
             eval_fn=eval_fn, eval_every=args.eval_every or 1000,
