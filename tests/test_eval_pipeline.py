@@ -98,3 +98,48 @@ def test_evaluate_dataset_on_mesh_matches_single_chip(dataset, detector):
             np.testing.assert_allclose(a.wlh, b.wlh, atol=1e-5)
             assert a.label == b.label
             assert a.score == pytest.approx(b.score, abs=1e-5)
+
+
+def test_eval_cli_end_to_end(dataset, tmp_path):
+    """python -m tpu_pillars.evaluation.cli: checkpoint -> mAP + metrics
+    JSON + submission CSV, all through the subprocess surface."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    state = create_train_state(CFG, TrainConfig(batch_size=2, max_gt_boxes=8,
+                                                total_steps=10))
+    ckpt = str(tmp_path / "ck.msgpack")
+    save_checkpoint(ckpt, state, config=CFG)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_json = str(tmp_path / "metrics.json")
+    sub_csv = str(tmp_path / "submission.csv")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "tpu_pillars.evaluation.cli",
+         "--data", dataset.json_path, "--ckpt", ckpt,
+         "--platform", "cpu",
+         "--out", out_json, "--submission", sub_csv, "--batch", "2"],
+        env=env, cwd=repo, capture_output=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    assert "Lyft mAP(0.5:0.95)" in proc.stdout.decode()
+
+    with open(out_json) as f:
+        metrics = json.load(f)
+    assert 0.0 <= metrics["mAP"] <= 1.0
+    assert metrics["num_samples"] == len(list(dataset.sample_tokens()))
+    assert len(metrics["ap"]) == 10
+
+    with open(sub_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["Id", "PredictionString"]
+    assert len(rows) == 1 + metrics["num_samples"]
+    for _tok, pred in rows[1:]:
+        parse_prediction_string(pred)  # must round-trip
