@@ -59,13 +59,9 @@ def main() -> None:
 
     mesh = None
     if args.dp > 1:
-        from tpu_pillars.parallel import make_mesh
+        from tpu_pillars.parallel import make_mesh_n
 
-        devices = jax.devices()[: args.dp]
-        if len(devices) < args.dp:
-            raise SystemExit(f"--dp {args.dp}: only {len(devices)} "
-                             f"devices visible")
-        mesh = make_mesh(devices)
+        mesh = make_mesh_n(args.dp)
 
     tokens = list(ds.sample_tokens())
     if args.samples > 0:
@@ -82,7 +78,13 @@ def main() -> None:
     print(f"samples: {len(tokens)}   backend: {jax.default_backend()}"
           + (f"   dp: {mesh.devices.size}" if mesh is not None else ""))
     # table: {iou_threshold: per-class AP array (NaN = class absent in GT)}
-    per_class = np.nanmean(np.stack(list(table.values())), axis=0)
+    import warnings
+
+    with warnings.catch_warnings():
+        # all-NaN columns (class absent at every threshold) are expected —
+        # they get the "(no GT)" tag below, not a RuntimeWarning
+        warnings.simplefilter("ignore", RuntimeWarning)
+        per_class = np.nanmean(np.stack(list(table.values())), axis=0)
     for name, ap50, ap in zip(config.class_names, table[0.5], per_class):
         tag = "   (no GT)" if np.isnan(ap) else ""
         print(f"  {name:>18s}  AP@0.5 {np.nan_to_num(ap50):.4f}  "

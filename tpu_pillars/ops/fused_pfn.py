@@ -364,6 +364,14 @@ def emit_centered_table(points, num_points, config: PillarsConfig,
     HW = config.grid_h * config.grid_w
     N = config.max_points_per_pillar
     F = points.shape[-1]
+    # width mismatches must fail HERE: downstream pfn_*_from_table slices
+    # the (lanes-padded) table at stride config.num_input_features, so a
+    # wrong F would silently misalign every point instead of erroring
+    if F != config.num_input_features:
+        raise ValueError(
+            f"points have {F} features; config expects "
+            f"{config.num_input_features} (num_raw_features="
+            f"{config.num_raw_features}, num_sweeps={config.num_sweeps})")
 
     gid_s, pts_s = sort_points_by_pillar(points, num_points, config)
     col = (gid_s % config.grid_w).astype(jnp.float32)

@@ -1,4 +1,4 @@
-from tpu_pillars.parallel.mesh import make_mesh
+from tpu_pillars.parallel.mesh import make_mesh, make_mesh_n
 from tpu_pillars.parallel.train_dp import (
     make_dp_train_step, make_shardmap_train_step, shard_train_batch,
 )
@@ -7,7 +7,8 @@ from tpu_pillars.parallel.eval_dp import (
 )
 
 __all__ = [
-    "make_mesh", "make_dp_train_step", "make_shardmap_train_step",
+    "make_mesh", "make_mesh_n", "make_dp_train_step",
+    "make_shardmap_train_step",
     "shard_train_batch",
     "make_dp_detector_fn", "make_dp_packed_detector",
 ]

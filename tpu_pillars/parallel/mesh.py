@@ -23,3 +23,14 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     import numpy as np
 
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_n(n: int, axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first `n` local devices; raises SystemExit with a
+    clear message when fewer are visible (the CLI `--dp N` contract)."""
+    devices = jax.devices()[:n]
+    if len(devices) < n:
+        raise SystemExit(
+            f"requested {n} devices, only {len(devices)} visible "
+            f"(backend: {jax.default_backend()})")
+    return make_mesh(devices, axis_name)

@@ -213,16 +213,12 @@ def main() -> None:
     if args.dp > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from tpu_pillars.parallel import make_mesh
+        from tpu_pillars.parallel import make_mesh_n
 
-        devices = jax.devices()[: args.dp]
-        if len(devices) < args.dp:
-            raise SystemExit(f"--dp {args.dp}: only {len(devices)} "
-                             f"devices visible")
         if args.batch % args.dp:
             raise SystemExit(f"--batch {args.batch} must divide by "
                              f"--dp {args.dp}")
-        mesh = make_mesh(devices)
+        mesh = make_mesh_n(args.dp)
         batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     ckpt_path = f"{args.out}/ckpt.msgpack"
@@ -289,10 +285,10 @@ def main() -> None:
 
         batches = device_prefetch(batches, size=args.prefetch,
                                   device=batch_sharding)
-    elif batch_sharding is not None:
-        batches = (jax.tree.map(
-            lambda x, s=batch_sharding: jax.device_put(x, s), b)
-            for b in batches)
+    elif mesh is not None:
+        from tpu_pillars.parallel import shard_train_batch
+
+        batches = (shard_train_batch(b, mesh) for b in batches)
 
     if eval_fn is None and args.eval_every > 0 and not args.data:
         eval_fn = make_synthetic_eval_fn(config, num_scenes=args.eval_scenes,
