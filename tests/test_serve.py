@@ -1,0 +1,92 @@
+"""HTTP inference server (scripts/serve.py): subprocess startup, healthz,
+binary and JSON predict round-trips, client-error surface."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu_pillars.config import tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = tiny_config()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    out = tmp_path_factory.mktemp("serve")
+    ckpt = str(out / "ck.msgpack")
+    state = create_train_state(CFG, TrainConfig(batch_size=1, max_gt_boxes=4,
+                                                total_steps=10))
+    save_checkpoint(ckpt, state, config=CFG)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--ckpt", ckpt, "--port", "0", "--platform", "cpu"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    # the server prints its bound address once the model is compiled+warm
+    line = proc.stdout.readline()
+    assert "serving on http://" in line, (line, proc.stderr.read()[-2000:])
+    url = line.split()[2]
+    yield url
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def _post(url, data, headers):
+    req = urllib.request.Request(url + "/predict", data=data,
+                                 headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+
+
+def test_predict_binary_and_json(server, rng):
+    n = 500
+    pts = np.zeros((n, CFG.num_input_features), np.float32)
+    pts[:, 0] = rng.uniform(CFG.x_min, CFG.x_max, n)
+    pts[:, 1] = rng.uniform(CFG.y_min, CFG.y_max, n)
+    pts[:, 2] = rng.uniform(CFG.z_min, CFG.z_max, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+
+    out_bin = _post(server, pts.tobytes(),
+                    {"Content-Type": "application/octet-stream",
+                     "X-Point-Count": str(n)})
+    assert out_bin["num_boxes"] == len(out_bin["boxes"])
+    for b in out_bin["boxes"][:5]:
+        assert len(b["center"]) == 3 and len(b["wlh"]) == 3
+        assert np.isfinite(b["score"])
+
+    out_json = _post(server, json.dumps(
+        {"points": pts.tolist()}).encode(),
+        {"Content-Type": "application/json"})
+    # identical sweep over either wire -> identical detections
+    assert out_json["num_boxes"] == out_bin["num_boxes"]
+    for a, b in zip(out_json["boxes"], out_bin["boxes"]):
+        np.testing.assert_allclose(a["center"], b["center"], atol=1e-6)
+
+
+def test_predict_bad_width_is_400(server):
+    bad = np.zeros((10, CFG.num_input_features + 2), np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, json.dumps({"points": bad.tolist()}).encode(),
+              {"Content-Type": "application/json"})
+    assert ei.value.code == 400
