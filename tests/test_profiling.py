@@ -20,8 +20,10 @@ def test_stage_timer_accumulates_and_syncs():
     assert s["matmul"]["count"] == 3
     assert s["other"]["count"] == 1
     assert s["matmul"]["total_s"] > 0
+    # summary() rounds total_s at 1e-6 s and mean_ms at 1e-3 ms — allow
+    # both roundings in the identity check
     assert abs(s["matmul"]["mean_ms"]
-               - 1e3 * s["matmul"]["total_s"] / 3) < 1e-6
+               - 1e3 * s["matmul"]["total_s"] / 3) < 2e-3
     # observe() passes its tree through unchanged and resets after the stage
     assert timer._result is None
 
