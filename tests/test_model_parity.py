@@ -127,3 +127,45 @@ def test_state_dict_covers_torch_model():
     tmodel = TorchPointPillars(cfg)
     # must be a perfect 1:1 key match — no silently missing layers
     tmodel.load_state_dict(sd, strict=True)
+
+
+def test_torch_to_flax_round_trip_bit_identical(rng):
+    """The migration importer (torch_to_flax) is the exact inverse of
+    flax_to_torch: flax -> torch -> flax round-trips bit-for-bit, so
+    reference-trained torch weights serve here unchanged."""
+    from tpu_pillars.reference_cpu.convert import torch_to_flax
+
+    cfg = CFG
+    model = PointPillars(cfg)
+    batch = _make_batch(rng, cfg)
+    variables = _random_variables(rng, model, batch)
+
+    back = torch_to_flax(flax_to_torch(variables, cfg), cfg)
+
+    want = {"params": jax.tree.map(np.asarray, variables["params"]),
+            "batch_stats": jax.tree.map(np.asarray,
+                                        variables["batch_stats"])}
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(want))
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the imported tree actually drives the model
+    outs = model.apply(back, batch)
+    ref = model.apply(variables, batch)
+    np.testing.assert_array_equal(np.asarray(outs.cls_logits),
+                                  np.asarray(ref.cls_logits))
+
+
+def test_torch_to_flax_missing_key_is_loud(rng):
+    import pytest
+
+    from tpu_pillars.reference_cpu.convert import torch_to_flax
+
+    cfg = CFG
+    model = PointPillars(cfg)
+    batch = _make_batch(rng, cfg)
+    sd = flax_to_torch(_random_variables(rng, model, batch), cfg)
+    del sd["rpn.ups.1.0.weight"]
+    with pytest.raises(KeyError, match="rpn.ups.1.0.weight"):
+        torch_to_flax(sd, cfg)
