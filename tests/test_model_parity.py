@@ -169,3 +169,30 @@ def test_torch_to_flax_missing_key_is_loud(rng):
     del sd["rpn.ups.1.0.weight"]
     with pytest.raises(KeyError, match="rpn.ups.1.0.weight"):
         torch_to_flax(sd, cfg)
+
+
+def test_detector_from_torch(rng, tmp_path):
+    """Detector.from_torch accepts a state_dict, a saved .pth file, and a
+    whole nn.Module; all three serve the same boxes."""
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.reference_cpu.model import TorchPointPillars
+
+    cfg = CFG
+    torch.manual_seed(3)
+    tmodel = TorchPointPillars(cfg)
+    path = str(tmp_path / "weights.pth")
+    torch.save(tmodel.state_dict(), path)
+
+    pts = np.zeros((400, 4), np.float32)
+    pts[:, 0] = rng.uniform(cfg.x_min, cfg.x_max, 400)
+    pts[:, 1] = rng.uniform(cfg.y_min, cfg.y_max, 400)
+    pts[:, 2] = rng.uniform(cfg.z_min, cfg.z_max, 400)
+    pts[:, 3] = rng.uniform(0, 1, 400)
+
+    outs = [Detector.from_torch(cfg, src).predict(pts)
+            for src in (tmodel.state_dict(), path, tmodel)]
+    assert len({len(o) for o in outs}) == 1
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a.center, b.center)
+    for a, b in zip(outs[0], outs[2]):
+        np.testing.assert_array_equal(a.center, b.center)

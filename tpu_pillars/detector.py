@@ -524,6 +524,24 @@ class Detector:
         }
         return cls(config, variables, **kw)
 
+    @classmethod
+    def from_torch(cls, config: PillarsConfig, state_dict_or_path, **kw
+                   ) -> "Detector":
+        """MIGRATION: build a Detector from a torch PointPillars state_dict
+        in the reference layout (or a path to a torch.save file of one) —
+        reference-trained weights serve here unchanged. Conversion is the
+        bit-exact inverse mapping in reference_cpu.convert.torch_to_flax."""
+        from tpu_pillars.reference_cpu.convert import torch_to_flax
+
+        sd = state_dict_or_path
+        if isinstance(sd, (str, bytes)):
+            import torch
+
+            sd = torch.load(sd, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):   # a whole nn.Module
+            sd = sd.state_dict()
+        return cls(config, torch_to_flax(sd, config), **kw)
+
 
 def pack_detections(det: Detections):
     """Detections -> (D, 10) f32 [x,y,z,w,l,h,yaw,score,class,valid]."""
