@@ -252,15 +252,19 @@ def main() -> None:
     sys.stderr.write(f"train step (batch 4, full size): {step_s*1e3:.0f} ms "
                      f"({4/step_s:.2f} sweeps/s)\n")
 
-    # train-step stage breakdown (amortized device times): pillarize and
-    # target assignment are the two non-model costs fused into the step.
-    # The assigner timed here is the one the step actually uses on TPU —
-    # the windowed Pallas kernel (train/step.py assigner="auto")
+    # train-step stage breakdown (amortized device times): the front end
+    # and target assignment are the two non-model costs fused into the
+    # step. Both stages timed here are the ones the step actually uses on
+    # TPU: the fused emit-table front end (train/step.py fused_frontend
+    # auto; its PFN runs inside the grad program and lands in the
+    # residual) and the windowed Pallas assigner (assigner="auto")
     from tpu_pillars.ops.assign_pallas import make_windowed_assigner
+    from tpu_pillars.ops.fused_pfn import emit_centered_table
 
     d_tpts, d_tn = jax.device_put(pts), jax.device_put(npts)
+    emit_b = jax.jit(lambda p, n: emit_centered_table(p, n, cfg))
     _, per_tpill = _device_loop_rate(
-        lambda p, n: pill_b(p, n).features, (d_tpts, d_tn), 4, iters=12)
+        lambda p, n: emit_b(p, n)[0], (d_tpts, d_tn), 4, iters=12)
     assign_b = jax.jit(make_windowed_assigner(cfg))
     d_gb, d_gc, d_gv = map(jax.device_put, (gb, gc, gv))
     _, per_assign = _device_loop_rate(
@@ -268,13 +272,13 @@ def main() -> None:
         (d_gb, d_gc, d_gv), 4, iters=12)
     grad_ms = (step_s - per_tpill - per_assign) * 1e3
     results["train_stage_ms_batch4"] = {
-        "pillarize": round(per_tpill * 1e3, 1),
+        "frontend_emit": round(per_tpill * 1e3, 1),
         "assign": round(per_assign * 1e3, 1),
         "grad_opt_residual": round(grad_ms, 1),
     }
     sys.stderr.write(
-        f"train stages (batch 4): pillarize {per_tpill*1e3:.0f} ms, "
-        f"assign {per_assign*1e3:.0f} ms, fwd+bwd+opt residual "
+        f"train stages (batch 4): emit front end {per_tpill*1e3:.0f} ms, "
+        f"assign {per_assign*1e3:.0f} ms, fused-PFN+fwd+bwd+opt residual "
         f"{grad_ms:.0f} ms\n")
 
     print(json.dumps(results))
