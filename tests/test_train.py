@@ -327,3 +327,40 @@ def test_train_cli_dp(tmp_path):
     steps = [e for e in events if e["event"] == "train_step"]
     assert steps and np.isfinite(steps[-1]["loss"])
     assert os.path.exists(os.path.join(out, "ckpt.msgpack"))
+
+
+def test_export_inference_checkpoint(tmp_path, rng):
+    """Serving artifact: params+stats only, ~3x smaller, loads through
+    Detector.from_checkpoint with the fingerprint guard; restore_checkpoint
+    refuses it (not a resume point)."""
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.train.checkpoint import (
+        export_inference_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    cfg = tiny_config()
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=4, total_steps=10)
+    state = create_train_state(cfg, tcfg)
+    full = str(tmp_path / "full.msgpack")
+    slim = str(tmp_path / "slim.msgpack")
+    slim2 = str(tmp_path / "slim2.msgpack")
+    save_checkpoint(full, state, config=cfg)
+    export_inference_checkpoint(slim, state, config=cfg)
+    export_inference_checkpoint(slim2, full)   # strip an on-disk ckpt
+
+    assert os.path.getsize(slim) < os.path.getsize(full) / 2
+    assert os.path.getsize(slim2) == os.path.getsize(slim)
+
+    det_full = Detector.from_checkpoint(cfg, full)
+    det_slim = Detector.from_checkpoint(cfg, slim)
+    for a, b in zip(jax.tree.leaves(det_full.variables),
+                    jax.tree.leaves(det_slim.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong config still fails fast on the slim artifact
+    import pytest
+    with pytest.raises(ValueError, match="different"):
+        Detector.from_checkpoint(tiny_config(max_pillars=256), slim)
+    # and it is NOT a resume point
+    with pytest.raises(Exception):
+        restore_checkpoint(slim, state, config=cfg)

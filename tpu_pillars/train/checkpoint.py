@@ -49,6 +49,44 @@ def save_checkpoint(path: str, state: TrainState, config=None) -> None:
             os.unlink(tmp)
 
 
+def export_inference_checkpoint(path: str, state_or_ckpt, config=None
+                                ) -> None:
+    """Write a serving artifact: params + batch_stats (+ config_fp) WITHOUT
+    the optimizer state — ~3x smaller than a train checkpoint (AdamW keeps
+    two moments per param). Loads through Detector.from_checkpoint
+    unchanged (it reads only the variable subtrees); restore_checkpoint
+    will correctly REFUSE it (no opt_state — it is not a resume point).
+
+    state_or_ckpt: a TrainState, or a path to a full train checkpoint to
+    strip host-side (no model build needed)."""
+    if isinstance(state_or_ckpt, (str, os.PathLike)):
+        with open(state_or_ckpt, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        payload = {"step": raw["step"], "params": raw["params"],
+                   "batch_stats": raw["batch_stats"]}
+        if config is not None:
+            payload["config_fp"] = config_fingerprint(config)
+        elif "config_fp" in raw:
+            payload["config_fp"] = np.asarray(raw["config_fp"], np.uint8)
+    else:
+        payload = {"step": state_or_ckpt.step,
+                   "params": state_or_ckpt.params,
+                   "batch_stats": state_or_ckpt.batch_stats}
+        if config is not None:
+            payload["config_fp"] = config_fingerprint(config)
+    data = serialization.to_bytes(payload)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def restore_checkpoint(path: str, template: TrainState,
                        config=None) -> TrainState:
     """Restore into the structure of `template` (same config/optimizer).
