@@ -172,6 +172,17 @@ def multisweep_config(num_sweeps: int = 10, **kw) -> PillarsConfig:
     return PillarsConfig(**base)
 
 
+# BASELINE config #2 operating point: car-class-only anchors on the full
+# 400x400 BEV grid — the single-class head the reference lineage tunes
+# first (2 anchors/loc instead of 18: a 9x smaller postprocess/assigner
+# anchor axis at identical front-end and conv cost).
+def car_only_config(**kw) -> PillarsConfig:
+    base = dict(classes=(ClassSpec("car", 1.93, 4.76, 1.72,
+                                   -1.07, 0.60, 0.45),))
+    base.update(kw)
+    return PillarsConfig(**base)
+
+
 # A small config for tests: tiny grid, tiny budgets -> fast CPU compiles.
 def tiny_config(**kw) -> PillarsConfig:
     base = dict(
