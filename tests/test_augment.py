@@ -69,3 +69,68 @@ def test_flip_only_mirrors(rng):
         got = set(map(tuple, np.round(flipped[g], 4)))
         want = set(map(tuple, np.round(mirrored[g], 4)))
         assert got == want
+
+
+class TestNoisePerObject:
+    def _scene(self, rng, n_boxes=4):
+        from tpu_pillars.config import tiny_config
+        from tpu_pillars.data.synthetic import make_scene
+
+        cfg = tiny_config()
+        s = make_scene(rng, cfg, num_objects=n_boxes, points_per_object=80,
+                       clutter=300)
+        return s.points, s.gt_boxes
+
+    def test_points_move_with_boxes(self, rng):
+        from tpu_pillars.data.augment import ObjectNoiseConfig, \
+            noise_per_object
+        from tpu_pillars.data.gt_sampler import points_in_box
+
+        pts, boxes = self._scene(rng)
+        before = [int(points_in_box(pts, b).sum()) for b in boxes]
+        pts2, boxes2 = noise_per_object(
+            rng, pts, boxes, ObjectNoiseConfig(translate_std=0.5))
+        # membership is preserved: each moved box contains (at least) the
+        # points that were inside it before — they rode along. Synthetic
+        # points sit exactly ON the box surface, so the f32 rotation can
+        # push them epsilon-outside: count with a small margin
+        after = [int(points_in_box(pts2, b, margin=1e-3).sum())
+                 for b in boxes2]
+        for b4, a4 in zip(before, after):
+            assert a4 >= b4
+        # something actually moved
+        assert not np.allclose(boxes2[:, :2], boxes[:, :2])
+        # cloud size and feature columns untouched
+        assert pts2.shape == pts.shape
+        np.testing.assert_array_equal(pts2[:, 3], pts[:, 3])
+
+    def test_no_collisions_after_noise(self, rng):
+        from tpu_pillars.data.augment import ObjectNoiseConfig, \
+            noise_per_object
+        from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
+
+        pts, boxes = self._scene(rng, n_boxes=6)
+        _, boxes2 = noise_per_object(
+            rng, pts, boxes, ObjectNoiseConfig(translate_std=1.0))
+        iou = rotated_iou_bev_np(boxes2, boxes2)
+        np.fill_diagonal(iou, 0.0)
+        assert (iou == 0.0).all(), iou.max()
+
+    def test_deterministic_under_seed(self, rng):
+        from tpu_pillars.data.augment import noise_per_object
+
+        pts, boxes = self._scene(rng)
+        p1, b1 = noise_per_object(np.random.default_rng(5), pts, boxes)
+        p2, b2 = noise_per_object(np.random.default_rng(5), pts, boxes)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_prob_zero_is_identity(self, rng):
+        from tpu_pillars.data.augment import ObjectNoiseConfig, \
+            noise_per_object
+
+        pts, boxes = self._scene(rng)
+        p2, b2 = noise_per_object(rng, pts, boxes,
+                                  ObjectNoiseConfig(prob=0.0))
+        np.testing.assert_array_equal(p2, pts)
+        np.testing.assert_array_equal(b2, boxes)

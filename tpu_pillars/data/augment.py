@@ -1,7 +1,10 @@
-"""Training-time data augmentation (the reference lineage's standard global
-augmentations for PointPillars-family training: random flip, global rotation,
-global scaling, global translation — applied consistently to the cloud and
-the GT boxes). Host-side NumPy on raw scenes, before padding/pillarization.
+"""Training-time data augmentation (the reference lineage's standard
+augmentations for PointPillars-family training): the four GLOBAL transforms
+— random flip, global rotation, global scaling, global translation, applied
+consistently to the cloud and the GT boxes — plus SECOND-lineage PER-OBJECT
+noise (independent yaw jitter + xy translation of each GT box and the points
+inside it, collision-rejected). Host-side NumPy on raw scenes, before
+padding/pillarization. GT-database sampling lives in data/gt_sampler.py.
 """
 
 from __future__ import annotations
@@ -55,4 +58,57 @@ def augment_scene(rng: np.random.Generator, points: np.ndarray,
 
     # keep yaw in [-pi, pi)
     gt_boxes[:, 6] = (gt_boxes[:, 6] + np.pi) % (2 * np.pi) - np.pi
+    return points, gt_boxes
+
+
+@dataclasses.dataclass(frozen=True)
+class ObjectNoiseConfig:
+    rotation_range: float = np.pi / 9   # per-box yaw jitter in [-r, r]
+    translate_std: float = 0.25         # per-box xy translation (metres)
+    max_attempts: int = 10              # collision-rejection retries
+    prob: float = 1.0                   # per-box chance of being jittered
+
+
+def noise_per_object(rng: np.random.Generator, points: np.ndarray,
+                     gt_boxes: np.ndarray,
+                     cfg: ObjectNoiseConfig = ObjectNoiseConfig()):
+    """SECOND-lineage per-object augmentation: each GT box — and the points
+    inside it — gets an independent yaw rotation about the box center and
+    an xy translation. A draw is rejected (retried up to max_attempts, then
+    the box is left untouched) if the moved footprint would overlap any
+    other box in its CURRENT position, so augmented scenes stay physically
+    consistent. Points claimed by an earlier box never move twice; feature
+    columns beyond xyz pass through untouched.
+
+    Composes with :func:`augment_scene` (apply this first: per-object noise
+    in the original frame, then the global transforms)."""
+    from tpu_pillars.data.gt_sampler import points_in_box
+    from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
+
+    points = np.array(points, dtype=np.float32, copy=True)
+    gt_boxes = np.array(gt_boxes, dtype=np.float32, copy=True)
+    G = len(gt_boxes)
+    claimed = np.zeros(len(points), bool)
+    for g in range(G):
+        member = points_in_box(points, gt_boxes[g]) & ~claimed
+        claimed |= member
+        if rng.uniform() >= cfg.prob:
+            continue
+        others = np.delete(gt_boxes, g, axis=0)
+        for _ in range(cfg.max_attempts):
+            dtheta = rng.uniform(-cfg.rotation_range, cfg.rotation_range)
+            dt = rng.normal(0.0, cfg.translate_std, 2).astype(np.float32)
+            cand = gt_boxes[g].copy()
+            cand[:2] += dt
+            cand[6] = (cand[6] + dtheta + np.pi) % (2 * np.pi) - np.pi
+            if G > 1 and (rotated_iou_bev_np(cand[None], others) > 0.0).any():
+                continue
+            # move the member points with the box: rotate about the OLD
+            # center by dtheta, then translate
+            c, s = np.cos(dtheta), np.sin(dtheta)
+            d = points[member, :2] - gt_boxes[g, :2]
+            points[member, 0] = gt_boxes[g, 0] + c * d[:, 0] - s * d[:, 1] + dt[0]
+            points[member, 1] = gt_boxes[g, 1] + s * d[:, 0] + c * d[:, 1] + dt[1]
+            gt_boxes[g] = cand
+            break
     return points, gt_boxes

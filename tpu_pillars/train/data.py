@@ -13,7 +13,9 @@ from typing import Iterable, List, Optional, Sequence
 import numpy as np
 
 from tpu_pillars.config import PillarsConfig
-from tpu_pillars.data.augment import AugmentConfig, augment_scene
+from tpu_pillars.data.augment import (
+    AugmentConfig, ObjectNoiseConfig, augment_scene, noise_per_object,
+)
 from tpu_pillars.data.lyft import LyftDataset
 from tpu_pillars.train.step import TrainBatch
 
@@ -55,6 +57,7 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                     batch_size: int, max_gt_boxes: int,
                     tokens: Optional[Sequence[str]] = None,
                     augment: Optional[AugmentConfig] = None,
+                    object_noise: Optional[ObjectNoiseConfig] = None,
                     gt_sampler=None,
                     seed: int = 0, epochs: Optional[int] = None,
                     use_native: Optional[bool] = None,
@@ -63,7 +66,8 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
 
     gt_sampler: optional data.gt_sampler.GTSampler — paste-injects stored
     GT objects of under-represented classes (collision-checked) BEFORE the
-    global transforms, matching the SECOND-lineage augmentation order.
+    global transforms, matching the SECOND-lineage augmentation order:
+    sampling -> per-object noise (`object_noise`) -> global transforms.
 
     num_workers > 0 builds the batch's samples on a thread pool (loads and
     augmentation are NumPy/IO that release the GIL; the native loader
@@ -87,6 +91,12 @@ def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                                         max_gt_boxes, use_native=use_native)
         if gt_sampler is not None:
             pts, b, c, v = gt_sampler.inject_padded(srng, pts, b, c, v)
+        if object_noise is not None:
+            nv = int(v.sum())          # valid rows are contiguous
+            if nv:
+                pts, moved = noise_per_object(srng, pts, b[:nv],
+                                              object_noise)
+                b = np.concatenate([moved, b[nv:]], axis=0)
         if augment is not None:
             pts, b = augment_scene(srng, pts, b, augment)
         return pts, b, c, v

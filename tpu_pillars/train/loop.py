@@ -153,6 +153,10 @@ def main() -> None:
     p.add_argument("--no-augment", action="store_true",
                    help="disable the global flip/rotate/scale/translate "
                         "augmentation on dataset samples")
+    p.add_argument("--object-noise", action="store_true",
+                   help="per-object augmentation: independent yaw jitter + "
+                        "xy translation of each GT box and its points, "
+                        "collision-rejected (--data only)")
     p.add_argument("--gt-sample", type=int, default=0,
                    help="if > 0, GT-database sampling augmentation: paste-"
                         "inject stored objects until each class has N "
@@ -265,10 +269,13 @@ def main() -> None:
             db = GTDatabase.from_dataset(ds, config, tokens=train_tokens)
             gt_sampler = GTSampler(
                 db, GTSampleConfig(target_per_class=args.gt_sample))
+        from tpu_pillars.data.augment import ObjectNoiseConfig
+
         batches = dataset_batches(
             ds, config, tcfg.batch_size, tcfg.max_gt_boxes,
             tokens=train_tokens,
             augment=None if args.no_augment else AugmentConfig(),
+            object_noise=ObjectNoiseConfig() if args.object_noise else None,
             gt_sampler=gt_sampler, seed=args.seed,
             num_workers=max(args.workers, 0))
     else:
