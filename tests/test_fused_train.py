@@ -295,3 +295,33 @@ def test_shardmap_train_step_matches_single(rng, fused):
     for a, b in zip(jax.tree.leaves(state_1.params),
                     jax.tree.leaves(state_8.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
+
+
+def test_fused_train_step_bf16(rng):
+    """The TPU --bf16 default path is fused_frontend + compute_dtype=bf16:
+    the fused PFN runs f32 (its matmul is one bf16 MXU pass anyway), the
+    canvas is cast to bf16 for the convs, losses stay f32 — step losses
+    must track the f32 fused step to bf16 tolerance."""
+    from tpu_pillars.train import TrainConfig, create_train_state, \
+        make_train_step
+
+    cfg = CFG
+    batch = _tiny_train_batch(rng, cfg, 2)
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=16, total_steps=10)
+
+    state_32 = create_train_state(cfg, tcfg)
+    state_16 = create_train_state(cfg, tcfg)
+    step_32 = jax.jit(make_train_step(cfg, fused_frontend=True))
+    step_16 = jax.jit(make_train_step(cfg, fused_frontend=True,
+                                      compute_dtype=jnp.bfloat16))
+    for i in range(3):
+        state_32, l32 = step_32(state_32, batch)
+        state_16, l16 = step_16(state_16, batch)
+        assert np.isfinite(float(l16.total))
+        np.testing.assert_allclose(float(l16.total), float(l32.total),
+                                   rtol=2e-2, err_msg=f"step {i}")
+    # master state stays f32
+    for leaf in jax.tree.leaves(state_16.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state_16.batch_stats):
+        assert leaf.dtype == jnp.float32
