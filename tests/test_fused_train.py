@@ -325,3 +325,31 @@ def test_fused_train_step_bf16(rng):
         assert leaf.dtype == jnp.float32
     for leaf in jax.tree.leaves(state_16.batch_stats):
         assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("variant", [
+    dict(x_min=-32.0, x_max=32.0, y_min=-16.0, y_max=16.0,
+         voxel_x=0.5, voxel_y=0.5),                      # rectangular grid
+    dict(voxel_x=1.0, voxel_y=1.0, max_points_per_pillar=48),  # coarse
+    dict(max_pillars=128, pre_nms_top_k=64, max_detections=32),  # tight
+], ids=["rect_grid", "coarse_voxels", "small_budget"])
+def test_fused_step_matches_classic_on_variants(rng, variant):
+    """The fused front end is the TPU train default — its parity with the
+    classic path must hold across non-default grids and budgets, not just
+    the square tiny config."""
+    from tpu_pillars.train import TrainConfig, create_train_state, \
+        make_train_step
+
+    cfg = tiny_config(**variant)
+    batch = _tiny_train_batch(rng, cfg, 2, max_gt=8)
+    tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=10)
+    state_c = create_train_state(cfg, tcfg)
+    state_f = create_train_state(cfg, tcfg)
+    step_c = jax.jit(make_train_step(cfg, fused_frontend=False))
+    step_f = jax.jit(make_train_step(cfg, fused_frontend=True))
+    for i in range(2):
+        state_c, l_c = step_c(state_c, batch)
+        state_f, l_f = step_f(state_f, batch)
+        np.testing.assert_allclose(float(l_f.total), float(l_c.total),
+                                   rtol=2e-3, err_msg=f"step {i}")
+        assert int(l_f.num_pos) == int(l_c.num_pos)
