@@ -1,0 +1,111 @@
+"""A/B the block-gated Pallas NMS (ops/nms_pallas.py) vs the XLA fixpoint
+(ops/nms.py) on the real TPU, batch-8 vmapped at the full operating point
+(K = pre_nms_top_k = 1024), on class-shifted candidates shaped like
+_nms_and_pack's input.
+
+Run: timeout 1800 python scripts/probe_nms_pallas.py
+(one process; kernels compile in seconds, but budget for the axon
+first-large-compile pathology anyway — CLAUDE.md.)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pillars.config import PillarsConfig
+from tpu_pillars.ops.nms import rotated_nms
+from tpu_pillars.ops.nms_pallas import overlap_matrix_pallas, rotated_nms_pallas
+
+
+def log(msg):
+    sys.stderr.write(msg + "\n")
+    sys.stderr.flush()
+
+
+def timed(fn, args, iters=20):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])       # compile + true sync
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])   # host pull = honest barrier
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def make_candidates(rng, cfg, B, K):
+    """Class-shifted candidate sets: clustered same-class groups (real NMS
+    load) + background spread, ~60% valid, score-sorted by construction."""
+    span_x = cfg.x_max - cfg.x_min
+    span_y = cfg.y_max - cfg.y_min
+    shift = 4.0 * (span_x + span_y)
+    boxes = np.zeros((B, K, 7), np.float32)
+    valid = np.zeros((B, K), bool)
+    for b in range(B):
+        n = int(0.6 * K)
+        cls = rng.integers(0, cfg.num_classes, n)
+        # ~40 cluster centers; candidates pile onto them like real head
+        # output does around true objects
+        centers = rng.uniform(-40, 40, (40, 2))
+        pick = rng.integers(0, len(centers), n)
+        xy = centers[pick] + rng.normal(0, 1.2, (n, 2))
+        boxes[b, :n, 0] = xy[:, 0] + cls * shift
+        boxes[b, :n, 1] = xy[:, 1]
+        boxes[b, :n, 2] = rng.uniform(-1, 1, n)
+        boxes[b, :n, 3] = rng.uniform(0.6, 3.0, n)
+        boxes[b, :n, 4] = rng.uniform(0.8, 6.0, n)
+        boxes[b, :n, 5] = rng.uniform(0.5, 3.0, n)
+        boxes[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        valid[b, :n] = True
+    return jnp.asarray(boxes), jnp.asarray(valid)
+
+
+def main():
+    cfg = PillarsConfig()
+    K = cfg.pre_nms_top_k
+    B = 8
+    thr = cfg.nms_iou_threshold
+    log(f"backend={jax.default_backend()} K={K} B={B} thr={thr}")
+    rng = np.random.default_rng(0)
+    boxes, valid = make_candidates(rng, cfg, B, K)
+    scores = jnp.zeros((B, K))
+
+    nms_x = jax.jit(jax.vmap(
+        lambda b, v: rotated_nms(b, jnp.zeros(K), v, thr)))
+    nms_p = jax.jit(jax.vmap(
+        lambda b, v: rotated_nms_pallas(b, jnp.zeros(K), v, thr)))
+
+    kx = np.asarray(nms_x(boxes, valid))
+    kp = np.asarray(nms_p(boxes, valid))
+    agree = (kx == kp).mean()
+    log(f"keep agreement: {agree:.6f} "
+        f"({int((kx != kp).sum())} flips / {kx.size}) "
+        f"kept: xla={int(kx.sum())} pallas={int(kp.sum())}")
+
+    t_x = timed(nms_x, (boxes, valid))
+    t_p = timed(nms_p, (boxes, valid))
+    log(f"batch-{B} full NMS: xla fixpoint {t_x:.2f} ms  "
+        f"pallas-gated {t_p:.2f} ms")
+
+    # overlap matrix alone (the part the kernel replaces)
+    from tpu_pillars.ops.iou import rotated_iou_bev_chunked
+
+    def over_x(b):
+        iou = rotated_iou_bev_chunked(b, b, chunk=min(K, 256))
+        idx = jnp.arange(K)
+        return (iou > thr) & (idx[:, None] < idx[None, :])
+
+    ov_x = jax.jit(jax.vmap(over_x))
+    ov_p = jax.jit(jax.vmap(
+        lambda b: overlap_matrix_pallas(b, thr)))
+    t_ox = timed(ov_x, (boxes,))
+    t_op = timed(ov_p, (boxes,))
+    log(f"batch-{B} over-matrix: xla {t_ox:.2f} ms  pallas {t_op:.2f} ms")
+    log("verdict: " + ("PALLAS WINS" if t_p < t_x else "XLA KEEPS DEFAULT"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Block-gated Pallas NMS overlap kernel vs the XLA fixpoint path and the
+float64 S-H oracle (interpret mode off-TPU; same equivalence contract as
+tests/test_assign_pallas.py — formulas identical, fma scheduling may flip
+pairs whose IoU sits within ulps of the threshold, so mismatches must be
+explained by a float64 boundary check)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pillars.ops.iou import rotated_iou_bev
+from tpu_pillars.ops.nms import rotated_nms
+from tpu_pillars.ops.nms_pallas import (
+    overlap_matrix_pallas, rotated_nms_pallas,
+)
+from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
+
+THR = 0.2
+BOUNDARY_TOL = 1e-4
+
+
+def _random_boxes(rng, n, span=10.0):
+    b = np.zeros((n, 7), dtype=np.float32)
+    b[:, 0:2] = rng.uniform(-span, span, (n, 2))
+    b[:, 2] = rng.uniform(-1, 1, n)
+    b[:, 3] = rng.uniform(0.5, 3.0, n)
+    b[:, 4] = rng.uniform(0.5, 6.0, n)
+    b[:, 5] = rng.uniform(0.5, 3.0, n)
+    b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return b
+
+
+def _class_shifted(rng, n, num_classes=9, span=50.0):
+    """Mimic _nms_and_pack's class-aware shift: per-box class offset of
+    4 * (x_span + y_span) along x — the layout the kernel's distance
+    gating is designed around."""
+    b = _random_boxes(rng, n, span=span)
+    cls = rng.integers(0, num_classes, n)
+    b[:, 0] += cls * 4.0 * (2 * span + 2 * span)
+    return b
+
+
+def _check_over(boxes, thr=THR):
+    """Kernel over-matrix == XLA over-matrix, with mismatches allowed only
+    on float64-boundary pairs (|iou - thr| < tol)."""
+    k = boxes.shape[0]
+    got = np.asarray(overlap_matrix_pallas(jnp.asarray(boxes), thr))
+    iou = np.asarray(rotated_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    idx = np.arange(k)
+    want = (iou > thr) & (idx[:, None] < idx[None, :])
+    if not np.array_equal(got, want):
+        bad = np.argwhere(got != want)
+        iou64 = rotated_iou_bev_np(boxes[bad[:, 0]], boxes[bad[:, 1]])
+        iou64 = np.diagonal(iou64)
+        assert np.all(np.abs(iou64 - thr) < BOUNDARY_TOL), (
+            f"{len(bad)} non-boundary over-matrix flips; "
+            f"worst |iou-thr|={np.max(np.abs(iou64 - thr)):.2e}")
+    return got, want
+
+
+def test_over_matrix_dense_scene(rng):
+    boxes = _random_boxes(rng, 128, span=6.0)   # dense, many overlaps
+    got, _ = _check_over(boxes)
+    assert got.sum() > 50                       # scenario sanity: real work
+
+
+def test_over_matrix_padding_to_block_multiple(rng):
+    # 200 -> padded to 256 inside the kernel; dummy rows/cols must not leak
+    boxes = _random_boxes(rng, 200, span=8.0)
+    _check_over(boxes)
+
+
+def test_over_matrix_class_shifted(rng):
+    boxes = _class_shifted(rng, 256)
+    got, want = _check_over(boxes)
+    # cross-class pairs are provably zero — the gating design premise
+    assert got.sum() == want.sum() or got.sum() > 0
+
+
+def test_keep_matches_fixpoint_nms(rng):
+    for trial in range(3):
+        n = 256
+        boxes = _class_shifted(rng, n, span=30.0)
+        scores = np.sort(rng.uniform(0.1, 1.0, n))[::-1].astype(np.float32)
+        valid = rng.uniform(size=n) > 0.1
+        keep_x = np.asarray(rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), THR))
+        keep_p = np.asarray(rotated_nms_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), THR))
+        if not np.array_equal(keep_x, keep_p):
+            # any keep divergence must trace to a threshold-boundary pair
+            iou64 = rotated_iou_bev_np(boxes, boxes)
+            assert np.any(np.abs(iou64 - THR) < BOUNDARY_TOL), (
+                "keep sets diverge with no boundary pair in the scene")
+
+
+def test_keep_valid_mask_semantics():
+    # invalid top box neither kept nor suppressing (mirrors the fixpoint test)
+    boxes = np.tile(np.array([[0, 0, 0, 2, 4, 1, 0.2]], np.float32), (4, 1))
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    valid = np.array([False, True, True, True])
+    keep = np.asarray(rotated_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5))
+    np.testing.assert_array_equal(keep, [False, True, False, False])
+
+
+def test_keep_all_disjoint(rng):
+    boxes = _random_boxes(rng, 64, span=500.0)
+    keep = np.asarray(rotated_nms_pallas(
+        jnp.asarray(boxes), jnp.ones(64, np.float32),
+        jnp.ones(64, bool), 0.1))
+    assert keep.all()
+
+
+def test_vmapped_over_batch(rng):
+    """postprocess vmaps NMS over the batch — the kernel must survive vmap."""
+    B, n = 3, 128
+    boxes = np.stack([_random_boxes(rng, n, span=7.0) for _ in range(B)])
+    valid = np.ones((B, n), bool)
+    f = jax.vmap(lambda b, v: rotated_nms_pallas(
+        b, jnp.zeros(n), v, THR))
+    keep_b = np.asarray(f(jnp.asarray(boxes), jnp.asarray(valid)))
+    for i in range(B):
+        keep_1 = np.asarray(rotated_nms_pallas(
+            jnp.asarray(boxes[i]), jnp.zeros(n), jnp.ones(n, bool), THR))
+        np.testing.assert_array_equal(keep_b[i], keep_1)
