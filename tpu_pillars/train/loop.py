@@ -176,6 +176,12 @@ def main() -> None:
                         "devices: per-shard shard_map step with sync-BN "
                         "psums and pmean'd grads (parallel/train_dp.py). "
                         "--batch must divide by N")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step: the "
+                        "batch is split in --accum equal microbatches, "
+                        "grads averaged, ONE optimizer update (per-"
+                        "microbatch BN moments; composes with remat to "
+                        "push effective batch past the HBM ceiling)")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 activations, "
                         "f32 params/optimizer/BN stats/losses")
@@ -324,9 +330,13 @@ def main() -> None:
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
         import jax.numpy as jnp
 
+        if args.batch % args.accum:
+            raise SystemExit(f"--batch {args.batch} must divide by "
+                             f"--accum {args.accum}")
         step_kw = dict(
             compute_dtype=jnp.dtype(tcfg.compute_dtype),
-            fused_frontend=False if args.no_fused_frontend else None)
+            fused_frontend=False if args.no_fused_frontend else None,
+            accum_steps=args.accum)
         if mesh is not None:
             from tpu_pillars.parallel import make_shardmap_train_step
 

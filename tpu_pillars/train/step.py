@@ -42,7 +42,8 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                     compute_dtype=jnp.float32, remat: bool = True,
                     assigner: str = "auto",
                     fused_frontend: bool | None = None,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    accum_steps: int = 1):
     """Returns step(state, batch) -> (state, LossBreakdown). Pure function of
     (state, batch): jit, or shard_map over a mesh for data parallelism.
 
@@ -73,6 +74,16 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     agree to tolerance, tests pin it); the fused PFN runs f32 even under
     compute_dtype=bf16 (its matmul is one bf16 MXU pass anyway — the
     standard TPU f32 default).
+
+    accum_steps > 1 enables gradient accumulation: the batch's leading axis
+    is split into `accum_steps` equal microbatches, per-microbatch gradients
+    are computed sequentially under one `lax.scan` (so only microbatch-sized
+    activations are ever live — composes with remat to push effective batch
+    far past the HBM ceiling) and averaged before ONE optimizer update.
+    Standard accumulation semantics: BatchNorm batch moments are
+    per-microbatch (as in every framework's accumulation mode), and the
+    running-stats momentum applies once per microbatch. Requires
+    batch_size % accum_steps == 0.
 
     axis_name: set when the step runs PER-SHARD under shard_map (see
     parallel.train_dp.make_shardmap_train_step). BN batch statistics are
@@ -166,8 +177,8 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         total, summary = _loss_from_outputs(outputs, batch)
         return total, (summary, new_stats)
 
-    def train_step(state: TrainState, batch: TrainBatch
-                   ) -> Tuple[TrainState, LossBreakdown]:
+    def grads_of(params, batch_stats, batch: TrainBatch):
+        """(losses, new_stats, grads) for one (micro)batch."""
         if fused_frontend:
             from tpu_pillars.ops.fused_pfn import emit_centered_table
 
@@ -175,13 +186,48 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                                               batch.num_points, config)
             grad_fn = jax.value_and_grad(loss_fn_fused, has_aux=True)
             (_, (losses, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, table, meta, batch
+                params, batch_stats, table, meta, batch
             )
         else:
             pb = pillarize_b(batch.points, batch.num_points)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (losses, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, pb, batch
+                params, batch_stats, pb, batch
+            )
+        return losses, new_stats, grads
+
+    def train_step(state: TrainState, batch: TrainBatch
+                   ) -> Tuple[TrainState, LossBreakdown]:
+        if accum_steps == 1:
+            losses, new_stats, grads = grads_of(
+                state.params, state.batch_stats, batch)
+        else:
+            B = batch.points.shape[0]
+            assert B % accum_steps == 0, (
+                f"batch {B} not divisible by accum_steps {accum_steps}")
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum_steps, B // accum_steps,
+                                    *x.shape[1:]), batch)
+
+            def body(carry, mbatch):
+                stats, gacc, lacc = carry
+                losses, stats, grads = grads_of(state.params, stats, mbatch)
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                lacc = jax.tree.map(jnp.add, lacc, losses)
+                return (stats, gacc, lacc), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_l = LossBreakdown(*([jnp.zeros(())] * 5))
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                body, (state.batch_stats, zero_g, zero_l), micro)
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, gsum)
+            losses = LossBreakdown(          # means of per-micro means,
+                total=lsum.total * inv,      # which ARE the batch means
+                cls=lsum.cls * inv,          # (equal-sized microbatches);
+                loc=lsum.loc * inv,          # num_pos stays a batch sum
+                dir=lsum.dir * inv,
+                num_pos=lsum.num_pos,
             )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
