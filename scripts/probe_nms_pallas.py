@@ -106,6 +106,32 @@ def main():
     log(f"batch-{B} over-matrix: xla {t_ox:.2f} ms  pallas {t_op:.2f} ms")
     log("verdict: " + ("PALLAS WINS" if t_p < t_x else "XLA KEEPS DEFAULT"))
 
+    # --- full postprocess (wire layout) both ways: the decision metric ---
+    from tpu_pillars.detector import build_postprocess_fn
+    from tpu_pillars.ops.postprocess import top_k_two_stage
+
+    A = cfg.num_anchors
+    own = jnp.asarray(rng.normal(-4, 1.5, (B, A)).astype(np.float32))
+    box_p = jnp.asarray(rng.normal(0, 0.1, (B, 7, A)).astype(np.float32))
+    dir_p = jnp.asarray(rng.normal(0, 1, (B, 2, A)).astype(np.float32))
+    for impl in ("fixpoint", "pallas"):
+        post = jax.jit(jax.vmap(build_postprocess_fn(cfg, nms_impl=impl)))
+        t = timed(post, (own, box_p, dir_p), iters=15)
+        log(f"batch-{B} full postprocess [{impl}]: {t:.2f} ms")
+
+    # --- exact two-stage top-k vs lax.top_k at the A=720k operating point
+    from jax import lax
+
+    k = cfg.pre_nms_top_k
+    f1 = jax.jit(jax.vmap(lambda v: lax.top_k(v, k)))
+    t1 = timed(f1, (own,), iters=15)
+    for rows in (32, 64, 128):
+        f2 = jax.jit(jax.vmap(
+            lambda v, r=rows: top_k_two_stage(v, k, rows=r)))
+        t2 = timed(f2, (own,), iters=15)
+        log(f"batch-{B} top-{k} of {A}: lax {t1:.2f} ms  "
+            f"two-stage(rows={rows}) {t2:.2f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -112,6 +112,51 @@ def test_keep_all_disjoint(rng):
     assert keep.all()
 
 
+def test_postprocess_nms_impl_parity(rng):
+    """postprocess(nms_impl='pallas') == the fixpoint default end-to-end on
+    realistic head outputs (the wiring the TPU default flip would use)."""
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.ops.anchors import make_anchors
+    from tpu_pillars.ops.postprocess import postprocess
+
+    cfg = tiny_config()
+    anchors, anchor_cls = make_anchors(cfg)
+    A = cfg.num_anchors
+    cls = rng.normal(-4.0, 1.0, (A, cfg.num_classes)).astype(np.float32)
+    hot = rng.choice(A, 40, replace=False)
+    cls[hot, rng.integers(0, cfg.num_classes, 40)] = rng.normal(3.0, 1.0, 40)
+    deltas = rng.normal(0, 0.1, (A, 7)).astype(np.float32)
+    dirs = rng.normal(0, 1.0, (A, 2)).astype(np.float32)
+    args = (jnp.asarray(cls), jnp.asarray(deltas), jnp.asarray(dirs),
+            jnp.asarray(anchors), jnp.asarray(anchor_cls), cfg)
+    a = postprocess(*args)
+    b = postprocess(*args, nms_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(b.boxes))
+    np.testing.assert_array_equal(np.asarray(a.class_ids),
+                                  np.asarray(b.class_ids))
+
+
+def test_top_k_two_stage_exact(rng):
+    """Values AND indices (incl. lowest-index tie-breaks) must equal
+    lax.top_k — the candidate-selection contract of _top_candidates."""
+    from jax import lax
+
+    from tpu_pillars.ops.postprocess import top_k_two_stage
+
+    for n, k, rows in [(7200, 128, 16), (7201, 100, 16), (500, 500, 8),
+                       (4096, 64, 64)]:
+        x = rng.normal(size=n).astype(np.float32)
+        # heavy ties: quantize half the values onto a small grid
+        tie = rng.uniform(size=n) < 0.5
+        x[tie] = np.round(x[tie] * 4) / 4
+        xv = jnp.asarray(x)
+        wv, wi = lax.top_k(xv, k)
+        gv, gi = top_k_two_stage(xv, k, rows=rows)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
 def test_vmapped_over_batch(rng):
     """postprocess vmaps NMS over the batch — the kernel must survive vmap."""
     B, n = 3, 128

@@ -232,10 +232,14 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     return run_model
 
 
-def build_postprocess_fn(config: PillarsConfig):
+def build_postprocess_fn(config: PillarsConfig, nms_impl: str = "fixpoint"):
     """Stage 2: wire tensors (own, box_p, dir_p) -> Detections (anchors
     closed over). Consumes the _wire_head stage-1 handoff; same math as
-    ops.postprocess.postprocess (tests pin them equal)."""
+    ops.postprocess.postprocess (tests pin them equal).
+
+    nms_impl: "fixpoint" (XLA over-matrix, the measured default) or
+    "pallas" (ops/nms_pallas.py block-gated overlap kernel — TPU timing
+    pending, see its docstring)."""
     from tpu_pillars.ops.postprocess import postprocess_w
 
     anchors, anchor_cls = make_anchors(config)
@@ -244,7 +248,8 @@ def build_postprocess_fn(config: PillarsConfig):
 
     def run_post(own, box_p, dir_p) -> Detections:
         return postprocess_w(own, box_p, dir_p,
-                             anchors_j, anchor_cls_j, config)
+                             anchors_j, anchor_cls_j, config,
+                             nms_impl=nms_impl)
 
     return run_post
 
@@ -257,7 +262,8 @@ class Detector:
                  use_pallas_pfn: bool = True, wire_dtype=jnp.float32,
                  fused_frontend: bool | None = None,
                  host_crop: bool = True,
-                 wire_buckets: "Optional[tuple]" = None):
+                 wire_buckets: "Optional[tuple]" = None,
+                 nms_impl: str = "fixpoint"):
         """wire_dtype: dtype of the host->device point upload. Two 2-byte
         options halve the per-sweep transfer (the dominant serving cost on
         PCIe/tunnel links); both are opt-in because they break bit-for-boxes
@@ -285,6 +291,9 @@ class Detector:
         (the transfer is the dominant single-sweep serving cost). The only
         semantic difference is strictly better truncation: the first-N
         budget now counts in-range points only.
+
+        nms_impl: "fixpoint" (default) or "pallas" — see
+        build_postprocess_fn.
 
         wire_buckets: optional ascending static upload sizes (last entry
         must be config.max_points), e.g. (16384, 65536, 131072). Each sweep
@@ -344,7 +353,7 @@ class Detector:
         def model_fn_b(variables, points, num_points):
             return base_model_fn_b(variables, dequant(points), num_points)
 
-        post_fn = build_postprocess_fn(config)
+        post_fn = build_postprocess_fn(config, nms_impl=nms_impl)
         self._model = jax.jit(model_fn)
         self._post = jax.jit(post_fn)
         self._model_batch = jax.jit(model_fn_b)

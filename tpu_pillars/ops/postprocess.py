@@ -35,6 +35,32 @@ def wrap_angle(a):
     return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
 
+def top_k_two_stage(x, k: int, rows: int = 64):
+    """Exact top-k over a long 1-D axis via per-row partial top-k.
+
+    Every global top-k element lives in some row, and a row can hold at
+    most k of them — so per-row top-k loses nothing, and the second top-k
+    over the rows*k survivors is exact. Tie-breaking matches lax.top_k's
+    lowest-index rule: per-row top-k is stable, and the concatenated
+    candidate order (row-major, rank-minor) is monotone in original index
+    for equal values.
+
+    Candidate replacement for the (A=720k, k=1024) candidate selection in
+    _top_candidates — sorts rows of A/rows instead of one A-length
+    partial sort. TPU timing PENDING (scripts/probe_nms_pallas.py A/Bs
+    it); not wired as default until measured.
+    """
+    n = x.shape[0]
+    m = -(-n // rows)                 # ceil; pad with -inf, never selected
+    pad = rows * m - n
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), -jnp.inf, x.dtype)])
+    v, i = lax.top_k(x.reshape(rows, m), min(k, m))        # (rows, k')
+    flat_i = (jnp.arange(rows, dtype=i.dtype)[:, None] * m + i).reshape(-1)
+    v2, sel = lax.top_k(v.reshape(-1), k)
+    return v2, flat_i[sel]
+
+
 def _top_candidates(own_logits, anchor_cls, config):
     """Own-class logits (A,) -> thresholded scores, static top-K."""
     scores = jax.nn.sigmoid(own_logits)
@@ -47,7 +73,8 @@ def _top_candidates(own_logits, anchor_cls, config):
 
 
 def postprocess_t(cls_t, box_t, dir_t, anchors, anchor_cls,
-                  config: PillarsConfig) -> Detections:
+                  config: PillarsConfig,
+                  nms_impl: str = "fixpoint") -> Detections:
     """Feature-major postprocess: cls_t (num_classes, A), box_t (7, A),
     dir_t (2, A); anchors (A, 7), anchor_cls (A,) compile-time constants.
 
@@ -77,11 +104,12 @@ def postprocess_t(cls_t, box_t, dir_t, anchors, anchor_cls,
     dir_cls = jnp.argmax(take_cols(dir_t), axis=0)
     cls_of = anchor_cls[top_idx]
     return _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
-                         config)
+                         config, nms_impl)
 
 
 def postprocess_w(own, box_p, dir_p, anchors, anchor_cls,
-                  config: PillarsConfig) -> Detections:
+                  config: PillarsConfig,
+                  nms_impl: str = "fixpoint") -> Detections:
     """Serving-wire postprocess: own (A,) own-class logits in CANONICAL
     anchor order (a = hw * A_loc + a_loc); box_p (7, A''), dir_p (2, A'')
     feature-major in the conv-natural PERMUTED order (a'' = a_loc * HW +
@@ -111,11 +139,12 @@ def postprocess_w(own, box_p, dir_p, anchors, anchor_cls,
     dir_cls = jnp.argmax(take_cols(dir_p), axis=0)
     cls_of = anchor_cls[top_idx]
     return _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
-                         config)
+                         config, nms_impl)
 
 
 def postprocess(cls_logits, box_deltas, dir_logits, anchors, anchor_cls,
-                config: PillarsConfig) -> Detections:
+                config: PillarsConfig,
+                nms_impl: str = "fixpoint") -> Detections:
     """cls_logits (A, K), box_deltas (A, 7), dir_logits (A, 2);
     anchors (A, 7), anchor_cls (A,) int32 — both compile-time constants."""
     own = jnp.take_along_axis(cls_logits, anchor_cls[:, None], axis=1)[:, 0]
@@ -125,11 +154,12 @@ def postprocess(cls_logits, box_deltas, dir_logits, anchors, anchor_cls,
     dir_cls = jnp.argmax(dir_logits[top_idx], axis=-1)
     cls_of = anchor_cls[top_idx]
     return _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
-                         config)
+                         config, nms_impl)
 
 
 def _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
-                  config: PillarsConfig) -> Detections:
+                  config: PillarsConfig,
+                  nms_impl: str = "fixpoint") -> Detections:
     D = config.max_detections
     flip = (boxes[:, 6] > 0).astype(dir_cls.dtype) != dir_cls
     yaw = wrap_angle(boxes[:, 6] + jnp.where(flip, jnp.pi, 0.0))
@@ -138,7 +168,16 @@ def _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
     # class-aware NMS: translate each class into its own distant BEV region
     span = (config.x_max - config.x_min) + (config.y_max - config.y_min)
     shifted = boxes.at[:, 0].add(cls_of.astype(boxes.dtype) * 4.0 * span)
-    keep = rotated_nms(shifted, top_scores, cand_valid, config.nms_iou_threshold)
+    if nms_impl == "pallas":
+        # block-gated Pallas overlap matrix + identical fixpoint sweep
+        # (ops/nms_pallas.py; ulp-level fma caveat in its docstring)
+        from tpu_pillars.ops.nms_pallas import rotated_nms_pallas
+
+        keep = rotated_nms_pallas(shifted, top_scores, cand_valid,
+                                  config.nms_iou_threshold)
+    else:
+        keep = rotated_nms(shifted, top_scores, cand_valid,
+                           config.nms_iou_threshold)
 
     final_scores = jnp.where(keep, top_scores, -1.0)
     det_scores, det_idx = lax.top_k(final_scores, D)
