@@ -90,3 +90,74 @@ def test_predict_bad_width_is_400(server):
         _post(server, json.dumps({"points": bad.tolist()}).encode(),
               {"Content-Type": "application/json"})
     assert ei.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def server_batched(tmp_path_factory):
+    """serve.py with dynamic batching (--batch-size 3, generous straggler
+    window so the 1-core CI host still coalesces)."""
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    out = tmp_path_factory.mktemp("serve_b")
+    ckpt = str(out / "ck.msgpack")
+    state = create_train_state(CFG, TrainConfig(batch_size=1, max_gt_boxes=4,
+                                                total_steps=10))
+    save_checkpoint(ckpt, state, config=CFG)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--ckpt", ckpt, "--port", "0", "--platform", "cpu",
+         "--batch-size", "3", "--max-wait-ms", "2000"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    line = proc.stdout.readline()
+    assert "serving on http://" in line, (line, proc.stderr.read()[-2000:])
+    url = line.split()[2]
+    yield url
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_dynamic_batching_coalesces_and_matches(server_batched, rng):
+    import threading
+
+    n = 400
+    pts = np.zeros((n, CFG.num_input_features), np.float32)
+    pts[:, 0] = rng.uniform(CFG.x_min, CFG.x_max, n)
+    pts[:, 1] = rng.uniform(CFG.y_min, CFG.y_max, n)
+    pts[:, 2] = rng.uniform(CFG.z_min, CFG.z_max, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    body = json.dumps({"points": pts.tolist()}).encode()
+    hdr = {"Content-Type": "application/json"}
+
+    # a lone request takes the single-sweep executable
+    solo = _post(server_batched, body, hdr)
+    assert solo["batched"] == 1
+
+    results = [None] * 3
+
+    def fire(i):
+        results[i] = _post(server_batched, body, hdr)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(r is not None for r in results)
+    # the concurrent burst coalesced into one device call...
+    assert max(r["batched"] for r in results) >= 2
+    # ...and every response carries the same boxes as the solo run (batch
+    # executables reassociate float sums — ulp-level tolerance, as in the
+    # DP-eval parity checks)
+    for r in results:
+        assert r["num_boxes"] == solo["num_boxes"]
+        for a, b in zip(r["boxes"], solo["boxes"]):
+            np.testing.assert_allclose(a["center"], b["center"],
+                                       rtol=1e-4, atol=1e-4)
+            assert a["label"] == b["label"]
