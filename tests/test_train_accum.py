@@ -80,6 +80,36 @@ def test_accum_multi_step_loss_decreases(rng):
     assert int(state.step) == 6
 
 
+def test_accum_composes_with_shardmap_dp(rng):
+    """accum_steps under the shard_map DP step: sync-BN psums run inside
+    the microbatch scan per shard — the composition must compile and the
+    replicated update must stay finite and in sync across shards."""
+    import jax
+
+    from tpu_pillars.parallel import (
+        make_mesh, make_shardmap_train_step, shard_train_batch,
+    )
+
+    devices = jax.devices("cpu")[:4]
+    if len(devices) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(devices)
+    cfg, tcfg = CFG, TCFG
+    state = create_train_state(cfg, tcfg)
+    step = make_shardmap_train_step(cfg, mesh, iou_chunk=2048,
+                                    accum_steps=2)
+    # per-shard batch of 2 -> each shard scans 2 microbatches of 1
+    batch = _duplicated_batch(rng, cfg, tcfg, copies=8,
+                              num_objects=3, clutter=200)
+    batch = shard_train_batch(batch, mesh)
+    new_state, losses = step(state, batch)
+    jax.block_until_ready(new_state.params)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(losses.total))
+
+
 def test_accum_requires_divisible_batch(rng):
     cfg, tcfg = CFG, TCFG
     state = create_train_state(cfg, tcfg)
