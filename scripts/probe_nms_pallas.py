@@ -44,9 +44,11 @@ def make_candidates(rng, cfg, B, K):
     shift = 4.0 * (span_x + span_y)
     boxes = np.zeros((B, K, 7), np.float32)
     valid = np.zeros((B, K), bool)
+    cls_out = np.zeros((B, K), np.int32)
     for b in range(B):
         n = int(0.6 * K)
         cls = rng.integers(0, cfg.num_classes, n)
+        cls_out[b, :n] = cls
         # ~40 cluster centers; candidates pile onto them like real head
         # output does around true objects
         centers = rng.uniform(-40, 40, (40, 2))
@@ -60,7 +62,7 @@ def make_candidates(rng, cfg, B, K):
         boxes[b, :n, 5] = rng.uniform(0.5, 3.0, n)
         boxes[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
         valid[b, :n] = True
-    return jnp.asarray(boxes), jnp.asarray(valid)
+    return jnp.asarray(boxes), jnp.asarray(valid), jnp.asarray(cls_out)
 
 
 def main():
@@ -70,25 +72,29 @@ def main():
     thr = cfg.nms_iou_threshold
     log(f"backend={jax.default_backend()} K={K} B={B} thr={thr}")
     rng = np.random.default_rng(0)
-    boxes, valid = make_candidates(rng, cfg, B, K)
-    scores = jnp.zeros((B, K))
+    boxes, valid, cls = make_candidates(rng, cfg, B, K)
 
     nms_x = jax.jit(jax.vmap(
         lambda b, v: rotated_nms(b, jnp.zeros(K), v, thr)))
     nms_p = jax.jit(jax.vmap(
         lambda b, v: rotated_nms_pallas(b, jnp.zeros(K), v, thr)))
+    nms_pc = jax.jit(jax.vmap(
+        lambda b, v, c: rotated_nms_pallas(b, jnp.zeros(K), v, thr,
+                                           class_ids=c)))
 
     kx = np.asarray(nms_x(boxes, valid))
     kp = np.asarray(nms_p(boxes, valid))
-    agree = (kx == kp).mean()
-    log(f"keep agreement: {agree:.6f} "
-        f"({int((kx != kp).sum())} flips / {kx.size}) "
-        f"kept: xla={int(kx.sum())} pallas={int(kp.sum())}")
+    kc = np.asarray(nms_pc(boxes, valid, cls))
+    log(f"keep agreement: score-order {(kx == kp).mean():.6f} "
+        f"class-blocked {(kx == kc).mean():.6f} "
+        f"kept: xla={int(kx.sum())} pallas={int(kp.sum())}/{int(kc.sum())}")
 
     t_x = timed(nms_x, (boxes, valid))
     t_p = timed(nms_p, (boxes, valid))
+    t_c = timed(nms_pc, (boxes, valid, cls))
     log(f"batch-{B} full NMS: xla fixpoint {t_x:.2f} ms  "
-        f"pallas-gated {t_p:.2f} ms")
+        f"pallas score-order {t_p:.2f} ms  "
+        f"pallas class-blocked {t_c:.2f} ms")
 
     # overlap matrix alone (the part the kernel replaces)
     from tpu_pillars.ops.iou import rotated_iou_bev_chunked

@@ -30,14 +30,14 @@ def _random_boxes(rng, n, span=10.0):
     return b
 
 
-def _class_shifted(rng, n, num_classes=9, span=50.0):
+def _class_shifted(rng, n, num_classes=9, span=50.0, return_cls=False):
     """Mimic _nms_and_pack's class-aware shift: per-box class offset of
     4 * (x_span + y_span) along x — the layout the kernel's distance
     gating is designed around."""
     b = _random_boxes(rng, n, span=span)
     cls = rng.integers(0, num_classes, n)
     b[:, 0] += cls * 4.0 * (2 * span + 2 * span)
-    return b
+    return (b, cls) if return_cls else b
 
 
 def _check_over(boxes, thr=THR):
@@ -80,18 +80,21 @@ def test_over_matrix_class_shifted(rng):
 def test_keep_matches_fixpoint_nms(rng):
     for trial in range(3):
         n = 256
-        boxes = _class_shifted(rng, n, span=30.0)
+        boxes, cls = _class_shifted(rng, n, span=30.0, return_cls=True)
         scores = np.sort(rng.uniform(0.1, 1.0, n))[::-1].astype(np.float32)
         valid = rng.uniform(size=n) > 0.1
         keep_x = np.asarray(rotated_nms(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), THR))
-        keep_p = np.asarray(rotated_nms_pallas(
-            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), THR))
-        if not np.array_equal(keep_x, keep_p):
-            # any keep divergence must trace to a threshold-boundary pair
-            iou64 = rotated_iou_bev_np(boxes, boxes)
-            assert np.any(np.abs(iou64 - THR) < BOUNDARY_TOL), (
-                "keep sets diverge with no boundary pair in the scene")
+        for kw in ({}, {"class_ids": jnp.asarray(cls, jnp.int32)}):
+            keep_p = np.asarray(rotated_nms_pallas(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                THR, **kw))
+            if not np.array_equal(keep_x, keep_p):
+                # any keep divergence must trace to a threshold-boundary pair
+                iou64 = rotated_iou_bev_np(boxes, boxes)
+                assert np.any(np.abs(iou64 - THR) < BOUNDARY_TOL), (
+                    f"keep sets diverge ({kw.keys()}) with no boundary "
+                    f"pair in the scene")
 
 
 def test_keep_valid_mask_semantics():

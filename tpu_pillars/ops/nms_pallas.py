@@ -184,11 +184,29 @@ def overlap_matrix_pallas(boxes, iou_threshold: float,
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def rotated_nms_pallas(boxes, scores, valid, iou_threshold: float,
-                       interpret: bool | None = None):
+                       class_ids=None, interpret: bool | None = None):
     """Drop-in for ops.nms.rotated_nms with the overlap matrix produced by
-    the block-gated kernel; the greedy fixpoint sweep is identical."""
-    del scores  # order is positional, as in rotated_nms
+    the block-gated kernel; the greedy fixpoint sweep is identical.
+
+    class_ids (K,) int32, optional: when the boxes carry _nms_and_pack's
+    class-aware shift, candidates are first permuted into CLASS-BLOCKED
+    order (stable — within a class the score order is untouched). This is
+    exact: cross-class pairs are provably non-overlapping (the 4*span
+    shift exceeds any circumradius sum), so greedy NMS decomposes into
+    independent per-class problems whose within-class order is all that
+    matters — and it turns every block pair that spans two classes into a
+    guaranteed gate-skip for the kernel (score-interleaved classes would
+    otherwise leave nearly every block with at least one warm pair).
+    """
     k = boxes.shape[0]
+    if class_ids is not None:
+        # unique integer key: class-major, original (=score) order minor
+        perm = jnp.argsort(class_ids.astype(jnp.int32) * k
+                           + jnp.arange(k, dtype=jnp.int32))
+        inv = jnp.argsort(perm)
+        boxes = boxes[perm]
+        valid = valid[perm]
+    del scores  # order is positional, as in rotated_nms
     over = overlap_matrix_pallas(boxes, iou_threshold, interpret=interpret)
 
     def sweep(state):
@@ -204,4 +222,4 @@ def rotated_nms_pallas(boxes, scores, valid, iou_threshold: float,
     keep, _, _ = lax.while_loop(
         cond, sweep, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32))
     )
-    return keep
+    return keep[inv] if class_ids is not None else keep

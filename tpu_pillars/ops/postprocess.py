@@ -170,11 +170,14 @@ def _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
     shifted = boxes.at[:, 0].add(cls_of.astype(boxes.dtype) * 4.0 * span)
     if nms_impl == "pallas":
         # block-gated Pallas overlap matrix + identical fixpoint sweep
-        # (ops/nms_pallas.py; ulp-level fma caveat in its docstring)
+        # (ops/nms_pallas.py; ulp-level fma caveat in its docstring);
+        # class ids let it run class-blocked, where cross-class block
+        # pairs skip by construction
         from tpu_pillars.ops.nms_pallas import rotated_nms_pallas
 
         keep = rotated_nms_pallas(shifted, top_scores, cand_valid,
-                                  config.nms_iou_threshold)
+                                  config.nms_iou_threshold,
+                                  class_ids=cls_of)
     else:
         keep = rotated_nms(shifted, top_scores, cand_valid,
                            config.nms_iou_threshold)
