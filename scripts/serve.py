@@ -50,22 +50,36 @@ class DynamicBatcher:
     ready; one dispatcher thread owns the device (the chip is single-client
     — batching happens HERE, not by racing executables)."""
 
-    def __init__(self, det, config, batch_size: int, max_wait_ms: float):
-        import numpy as np  # noqa: F401  (kept local to startup path)
+    class Overloaded(RuntimeError):
+        """Queue full — surfaced as HTTP 503."""
 
+    def __init__(self, det, config, batch_size: int, max_wait_ms: float,
+                 max_queue: int | None = None, result_timeout_s: float = 300.0):
         self.det = det
         self.config = config
         self.batch = int(batch_size)
         self.wait = max_wait_ms / 1e3
-        self.q: "queue.Queue" = queue.Queue()
+        self.result_timeout = result_timeout_s
+        # bounded: a wedged device call must turn into fast 503s, not an
+        # unbounded pile of parked handler threads + request payloads
+        self.q: "queue.Queue" = queue.Queue(max_queue or 8 * self.batch)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, pts):
         ev = threading.Event()
         slot: dict = {}
-        self.q.put((pts, ev, slot))
-        ev.wait()
+        try:
+            self.q.put_nowait((pts, ev, slot))
+        except queue.Full:
+            raise self.Overloaded(
+                f"request queue full ({self.q.maxsize}); server overloaded "
+                f"or device wedged")
+        if not ev.wait(timeout=self.result_timeout):
+            slot["abandoned"] = True   # dispatcher will drop the result
+            raise RuntimeError(
+                f"no result within {self.result_timeout:.0f}s "
+                f"(device call wedged?)")
         if "error" in slot:
             raise RuntimeError(slot["error"])
         return slot["boxes"], slot["batched"]
@@ -110,6 +124,8 @@ class DynamicBatcher:
                     results = [packed_to_boxes(packed[i], self.config)
                                for i in range(b)]
                 for (_, ev, slot), boxes in zip(items, results):
+                    if slot.get("abandoned"):
+                        continue       # handler already timed out and left
                     slot["boxes"] = boxes
                     slot["batched"] = len(items)
                     ev.set()
@@ -176,6 +192,8 @@ def make_handler(det, config, batcher=None):
                     boxes, batched = batcher.submit(pts)
                 else:
                     boxes, batched = det.predict(pts), 1
+            except DynamicBatcher.Overloaded as e:
+                return self._send(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — server error surface
                 return self._send(500, {"error": str(e)})
             dt = (time.perf_counter() - t0) * 1e3

@@ -242,6 +242,9 @@ def build_postprocess_fn(config: PillarsConfig, nms_impl: str = "fixpoint"):
     pending, see its docstring)."""
     from tpu_pillars.ops.postprocess import postprocess_w
 
+    if nms_impl not in ("fixpoint", "pallas"):   # fail at build, not trace
+        raise ValueError(f"unknown nms_impl {nms_impl!r}; "
+                         f"expected 'fixpoint' or 'pallas'")
     anchors, anchor_cls = make_anchors(config)
     anchors_j = jnp.asarray(anchors)
     anchor_cls_j = jnp.asarray(anchor_cls)

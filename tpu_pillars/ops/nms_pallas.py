@@ -182,27 +182,42 @@ def overlap_matrix_pallas(boxes, iou_threshold: float,
     return out[:k, :k] > 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "class_gap",
+                                             "interpret"))
 def rotated_nms_pallas(boxes, scores, valid, iou_threshold: float,
-                       class_ids=None, interpret: bool | None = None):
+                       class_ids=None, class_gap: float = 0.0,
+                       interpret: bool | None = None):
     """Drop-in for ops.nms.rotated_nms with the overlap matrix produced by
     the block-gated kernel; the greedy fixpoint sweep is identical.
 
     class_ids (K,) int32, optional: when the boxes carry _nms_and_pack's
     class-aware shift, candidates are first permuted into CLASS-BLOCKED
     order (stable — within a class the score order is untouched). This is
-    exact: cross-class pairs are provably non-overlapping (the 4*span
-    shift exceeds any circumradius sum), so greedy NMS decomposes into
-    independent per-class problems whose within-class order is all that
-    matters — and it turns every block pair that spans two classes into a
-    guaranteed gate-skip for the kernel (score-interleaved classes would
-    otherwise leave nearly every block with at least one warm pair).
+    exact WHEN cross-class pairs cannot overlap: then greedy NMS
+    decomposes into independent per-class problems whose within-class
+    order is all that matters — and every block pair spanning two classes
+    becomes a guaranteed gate-skip for the kernel (score-interleaved
+    classes would otherwise leave nearly every block with a warm pair).
+
+    class_gap: the per-class shift distance (4*span in _nms_and_pack).
+    Decoded box sizes are unclamped (exp of a regression output), so an
+    absurd box COULD out-span the shift and re-couple classes; the
+    reorder is therefore applied only when 2*max(valid circumradius) <
+    class_gap — otherwise the data-dependent permutation degrades to the
+    identity and the result stays score-ordered (still correct, fewer
+    block skips). Invalid candidates are exempt from the guard: they
+    never keep and never suppress, so their geometry cannot change the
+    keep set.
     """
     k = boxes.shape[0]
     if class_ids is not None:
         # unique integer key: class-major, original (=score) order minor
-        perm = jnp.argsort(class_ids.astype(jnp.int32) * k
-                           + jnp.arange(k, dtype=jnp.int32))
+        iota = jnp.arange(k, dtype=jnp.int32)
+        perm = jnp.argsort(class_ids.astype(jnp.int32) * k + iota)
+        if class_gap > 0.0:
+            circ = 0.5 * jnp.sqrt(boxes[:, 3] ** 2 + boxes[:, 4] ** 2)
+            worst = jnp.max(jnp.where(valid, circ, 0.0))
+            perm = jnp.where(2.0 * worst < class_gap, perm, iota)
         inv = jnp.argsort(perm)
         boxes = boxes[perm]
         valid = valid[perm]

@@ -172,15 +172,20 @@ def _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
         # block-gated Pallas overlap matrix + identical fixpoint sweep
         # (ops/nms_pallas.py; ulp-level fma caveat in its docstring);
         # class ids let it run class-blocked, where cross-class block
-        # pairs skip by construction
+        # pairs skip by construction (class_gap guards the reorder's
+        # disjointness premise against absurd decoded boxes)
         from tpu_pillars.ops.nms_pallas import rotated_nms_pallas
 
         keep = rotated_nms_pallas(shifted, top_scores, cand_valid,
                                   config.nms_iou_threshold,
-                                  class_ids=cls_of)
-    else:
+                                  class_ids=cls_of,
+                                  class_gap=4.0 * span)
+    elif nms_impl == "fixpoint":
         keep = rotated_nms(shifted, top_scores, cand_valid,
                            config.nms_iou_threshold)
+    else:
+        raise ValueError(f"unknown nms_impl {nms_impl!r}; "
+                         f"expected 'fixpoint' or 'pallas'")
 
     final_scores = jnp.where(keep, top_scores, -1.0)
     det_scores, det_idx = lax.top_k(final_scores, D)

@@ -330,9 +330,12 @@ def main() -> None:
                    params=sum(x.size for x in jax.tree.leaves(state.params)))
         import jax.numpy as jnp
 
-        if args.batch % args.accum:
-            raise SystemExit(f"--batch {args.batch} must divide by "
-                             f"--accum {args.accum}")
+        per_shard = args.batch // args.dp if args.dp > 1 else args.batch
+        if per_shard % args.accum:
+            raise SystemExit(
+                f"per-shard batch {per_shard} (--batch {args.batch}"
+                + (f" / --dp {args.dp}" if args.dp > 1 else "")
+                + f") must divide by --accum {args.accum}")
         step_kw = dict(
             compute_dtype=jnp.dtype(tcfg.compute_dtype),
             fused_frontend=False if args.no_fused_frontend else None,
