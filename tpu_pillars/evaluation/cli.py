@@ -36,6 +36,10 @@ def main() -> None:
                         "(shard_map detector + tiled all_gather)")
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny config")
+    p.add_argument("--tta", action="store_true",
+                   help="flip test-time augmentation: ensemble the 4 BEV "
+                        "flip views per sample, merged by class-aware NMS "
+                        "(4x the device passes)")
     p.add_argument("--lidar-frame", action="store_true",
                    help="score in each keyframe's lidar frame instead of "
                         "the competition's global frame")
@@ -68,10 +72,14 @@ def main() -> None:
         tokens = tokens[: args.samples]
     num_sweeps = args.num_sweeps or config.num_sweeps
 
+    tta_modes = None
+    if args.tta:
+        from tpu_pillars.evaluation.tta import MODES as tta_modes
+
     mAP, table, predictions = evaluate_dataset(
         det, ds, sample_tokens=tokens, num_sweeps=num_sweeps,
         global_frame=not args.lidar_frame, batch_size=args.batch,
-        mesh=mesh)
+        mesh=mesh, tta_modes=tta_modes)
 
     import numpy as np
 

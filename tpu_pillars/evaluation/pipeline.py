@@ -34,6 +34,7 @@ def evaluate_dataset(
     sample_tokens: Optional[Sequence[str]] = None,
     num_sweeps: int = 1, global_frame: bool = True,
     batch_size: int = 8, mesh=None,
+    tta_modes: Optional[Sequence[str]] = None,
 ) -> Tuple[float, Dict, Dict[str, List[Box3D]]]:
     """Predict every sample; score against the dataset's GT.
 
@@ -46,6 +47,12 @@ def evaluate_dataset(
     With `mesh` (a jax.sharding.Mesh) each batch is sharded over the mesh's
     devices — data-parallel eval, identical detections to the single-chip
     path. batch_size is rounded up to a multiple of the mesh size.
+
+    tta_modes (e.g. evaluation.tta.MODES): flip-ensembled evaluation —
+    each batch runs once per view through the same batched executable
+    (flipped clouds, identical static shapes) and per-sample unions are
+    merged by class-aware NMS (evaluation/tta.py). ("none",) reproduces
+    the plain path's boxes exactly.
     """
     cfg = det.config
     tokens = list(sample_tokens or dataset.sample_tokens())
@@ -63,23 +70,43 @@ def evaluate_dataset(
         def predict_b(variables, pts_b, n_b):
             return det.predict_packed_batch(pts_b, n_b)
 
+    modes = tuple(tta_modes) if tta_modes else ("none",)
+    if tta_modes:
+        from tpu_pillars.evaluation.tta import flip_points
+
     def host_batches():
         for start in range(0, len(tokens), batch_size):
             chunk = tokens[start: start + batch_size]
-            padded = [det.pad_points(_load_points(dataset, t, cfg,
-                                                  num_sweeps))
+            clouds = [_load_points(dataset, t, cfg, num_sweeps)
                       for t in chunk]
-            while len(padded) < batch_size:       # repeat-pad the last batch
-                padded.append(padded[-1])
-            yield (chunk, np.stack([p for p, _ in padded]),
-                   np.asarray([n for _, n in padded], np.int32))
+            per_mode = []
+            for mode in modes:
+                padded = [det.pad_points(
+                    flip_points(c, mode) if tta_modes else c)
+                    for c in clouds]
+                while len(padded) < batch_size:   # repeat-pad the last batch
+                    padded.append(padded[-1])
+                per_mode.append(
+                    (np.stack([p for p, _ in padded]),
+                     np.asarray([n for _, n in padded], np.int32)))
+            yield chunk, per_mode
 
     # producer thread loads+pads the next batch while this thread waits on
     # the device result pull (train/prefetch.py; content-preserving)
     from tpu_pillars.train.prefetch import prefetch
 
-    for chunk, pts_b, n_b in prefetch(host_batches(), size=2):
-        packed_b = np.asarray(predict_b(det.variables, pts_b, n_b))
+    for chunk, per_mode in prefetch(host_batches(), size=2):
+        packed_modes = [np.asarray(predict_b(det.variables, pts_b, n_b))
+                        for pts_b, n_b in per_mode]
+        if tta_modes:
+            from tpu_pillars.evaluation.tta import merge_packed, tta_union
+
+            packed_b = [
+                merge_packed(
+                    tta_union([pm[i] for pm in packed_modes], modes), cfg)
+                for i in range(len(chunk))]
+        else:
+            packed_b = packed_modes[0]
 
         for tok, packed in zip(chunk, packed_b):
             sd = dataset.lidar_sample_data(tok)
