@@ -1,5 +1,6 @@
 from tpu_pillars.data.synthetic import SyntheticScene, make_scene
 from tpu_pillars.data.lyft import LyftDataset
+from tpu_pillars.data.stream import SweepAccumulator
 from tpu_pillars.data.augment import AugmentConfig, augment_scene
 from tpu_pillars.data.gt_sampler import (
     GTDatabase, GTSampleConfig, GTSampler,
@@ -9,6 +10,7 @@ from tpu_pillars.data.submission import (
 )
 
 __all__ = [
+    "SweepAccumulator",
     "SyntheticScene", "make_scene", "LyftDataset",
     "AugmentConfig", "augment_scene",
     "GTDatabase", "GTSampleConfig", "GTSampler",
