@@ -114,6 +114,77 @@ def test_evaluate_dataset_tta_identity_mode(det, tmp_path, rng):
     assert preds2.keys() == preds0.keys()
 
 
+def _row(x, y, yaw, score, cls=0, w=2.0, l=4.0):
+    return np.asarray([x, y, 0.0, w, l, 1.6, yaw, score, cls, 1.0],
+                      np.float32)
+
+
+def test_wbf_merge_fuses_overlaps(rng):
+    from tpu_pillars.evaluation.tta import merge_packed
+
+    cfg = CFG
+    # two near-identical detections of one object from 2 views + one far box
+    union = np.stack([
+        _row(0.0, 0.0, 0.1, 0.9),
+        _row(0.4, 0.1, 0.15, 0.6),
+        _row(30.0, 30.0, -0.5, 0.8, cls=2),
+    ])
+    out = merge_packed(union, cfg, method="wbf", num_views=2)
+    assert len(out) == 2
+    fused = out[np.argsort(out[:, 8])]          # cls 0 first
+    w = np.asarray([0.9, 0.6]) / 1.5
+    np.testing.assert_allclose(fused[0, 0], w @ [0.0, 0.4], atol=1e-6)
+    np.testing.assert_allclose(fused[0, 1], w @ [0.0, 0.1], atol=1e-6)
+    # both views saw it -> full score credit (mean)
+    np.testing.assert_allclose(fused[0, 7], 0.75, atol=1e-6)
+    # the lone cls-2 box: minority of views -> score halved
+    np.testing.assert_allclose(fused[1, 7], 0.4, atol=1e-6)
+    np.testing.assert_allclose(fused[1, :7], union[2, :7], atol=1e-6)
+
+
+def test_wbf_yaw_circular_mean_and_flip(rng):
+    from tpu_pillars.evaluation.tta import merge_packed
+
+    cfg = CFG
+    # yaws straddling the +-pi seam: mean must be ~pi, not ~0
+    union = np.stack([
+        _row(0.0, 0.0, np.pi - 0.05, 0.5),
+        _row(0.0, 0.0, -np.pi + 0.05, 0.5),
+    ])
+    out = merge_packed(union, cfg, method="wbf", num_views=2)
+    assert len(out) == 1
+    assert abs(abs(out[0, 6]) - np.pi) < 0.06
+    # pi-flipped duplicate (direction ambiguity): fused yaw stays aligned
+    # with the seed's axis instead of averaging to a perpendicular angle
+    union = np.stack([
+        _row(0.0, 0.0, 0.1, 0.6),
+        _row(0.0, 0.0, 0.1 + np.pi, 0.4),
+    ])
+    out = merge_packed(union, cfg, method="wbf", num_views=2)
+    assert len(out) == 1
+    np.testing.assert_allclose(out[0, 6], 0.1, atol=1e-5)
+
+
+def test_wbf_different_classes_never_fuse():
+    from tpu_pillars.evaluation.tta import merge_packed
+
+    union = np.stack([
+        _row(0.0, 0.0, 0.0, 0.9, cls=0),
+        _row(0.0, 0.0, 0.0, 0.8, cls=1),
+    ])
+    out = merge_packed(union, CFG, method="wbf", num_views=1)
+    assert len(out) == 2
+
+
+def test_predict_tta_wbf_end_to_end(det, rng):
+    scene = make_scene(rng, CFG, num_objects=4, clutter=400)
+    boxes = predict_tta(det, scene.points, merge="wbf")
+    assert len(boxes) > 0
+    scores = [b.score for b in boxes]
+    assert all(np.isfinite(s) and 0 < s <= 1 for s in scores)
+    assert all(s1 >= s2 for s1, s2 in zip(scores, scores[1:]))
+
+
 def test_merge_suppresses_same_class_duplicates(det, rng):
     """The full 4-view ensemble must not return two same-class boxes
     overlapping beyond the NMS threshold (the merge invariant)."""

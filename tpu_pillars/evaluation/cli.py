@@ -38,8 +38,10 @@ def main() -> None:
                    help="full 400x400 config instead of the tiny config")
     p.add_argument("--tta", action="store_true",
                    help="flip test-time augmentation: ensemble the 4 BEV "
-                        "flip views per sample, merged by class-aware NMS "
-                        "(4x the device passes)")
+                        "flip views per sample (4x the device passes)")
+    p.add_argument("--tta-merge", choices=("nms", "wbf"), default="nms",
+                   help="TTA merge: class-aware NMS (winner survives) or "
+                        "weighted box fusion (score-weighted averaging)")
     p.add_argument("--lidar-frame", action="store_true",
                    help="score in each keyframe's lidar frame instead of "
                         "the competition's global frame")
@@ -79,7 +81,7 @@ def main() -> None:
     mAP, table, predictions = evaluate_dataset(
         det, ds, sample_tokens=tokens, num_sweeps=num_sweeps,
         global_frame=not args.lidar_frame, batch_size=args.batch,
-        mesh=mesh, tta_modes=tta_modes)
+        mesh=mesh, tta_modes=tta_modes, tta_merge=args.tta_merge)
 
     import numpy as np
 

@@ -35,6 +35,7 @@ def evaluate_dataset(
     num_sweeps: int = 1, global_frame: bool = True,
     batch_size: int = 8, mesh=None,
     tta_modes: Optional[Sequence[str]] = None,
+    tta_merge: str = "nms",
 ) -> Tuple[float, Dict, Dict[str, List[Box3D]]]:
     """Predict every sample; score against the dataset's GT.
 
@@ -103,7 +104,8 @@ def evaluate_dataset(
 
             packed_b = [
                 merge_packed(
-                    tta_union([pm[i] for pm in packed_modes], modes), cfg)
+                    tta_union([pm[i] for pm in packed_modes], modes), cfg,
+                    method=tta_merge, num_views=len(modes))
                 for i in range(len(chunk))]
         else:
             packed_b = packed_modes[0]

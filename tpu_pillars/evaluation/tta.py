@@ -62,21 +62,80 @@ def unflip_boxes(boxes: np.ndarray, mode: str) -> np.ndarray:
     return out
 
 
-def merge_packed(union: np.ndarray, cfg: PillarsConfig) -> np.ndarray:
+def merge_packed(union: np.ndarray, cfg: PillarsConfig,
+                 method: str = "nms", num_views: int = 1) -> np.ndarray:
     """Merge a (n, 10) union of packed detections (already in the original
-    frame): stable score-descending sort -> class-aware rotated NMS (the
-    class-shift trick) -> top max_detections. Returns (m, 10)."""
+    frame). Returns (m, 10), score-descending.
+
+    method="nms": stable score-descending sort -> class-aware rotated NMS
+    (the class-shift trick) -> top max_detections. The winner of each
+    overlap group survives verbatim.
+
+    method="wbf": weighted box fusion (Solovyev et al. 2019, adapted to
+    rotated BEV): overlapping same-class boxes are FUSED — center and size
+    are score-weighted means, yaw a score-weighted circular mean (members
+    more than pi/2 from the cluster seed are flipped by pi first: the
+    direction ambiguity), and the fused score is the members' mean scaled
+    by min(n_members, num_views)/num_views, down-weighting boxes only a
+    minority of views found. Standard competition-ensemble merge; pass
+    num_views = number of TTA views.
+    """
     if not len(union):
         return union.reshape(0, 10)
     order = np.argsort(-union[:, 7], kind="stable")
     union = union[order]
-    span = (cfg.x_max - cfg.x_min) + (cfg.y_max - cfg.y_min)
-    shifted = union[:, :7].copy()
-    shifted[:, 0] += union[:, 8] * 4.0 * span
-    keep = np.asarray(rotated_nms(
-        jnp.asarray(shifted), jnp.asarray(union[:, 7]),
-        jnp.ones((len(union),), bool), cfg.nms_iou_threshold))
-    return union[keep][: cfg.max_detections]
+    if method == "nms":
+        span = (cfg.x_max - cfg.x_min) + (cfg.y_max - cfg.y_min)
+        shifted = union[:, :7].copy()
+        shifted[:, 0] += union[:, 8] * 4.0 * span
+        keep = np.asarray(rotated_nms(
+            jnp.asarray(shifted), jnp.asarray(union[:, 7]),
+            jnp.ones((len(union),), bool), cfg.nms_iou_threshold))
+        return union[keep][: cfg.max_detections]
+    if method != "wbf":
+        raise ValueError(f"unknown merge method {method!r}; "
+                         f"expected 'nms' or 'wbf'")
+
+    from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
+
+    thr = cfg.nms_iou_threshold
+    fused_rows: list = []        # running fused (10,) per cluster
+    members: list = []           # list of (n_i, 10) arrays per cluster
+    for row in union:
+        hit = -1
+        if fused_rows:
+            fb = np.stack(fused_rows)
+            same = fb[:, 8] == row[8]
+            if same.any():
+                iou = rotated_iou_bev_np(row[None, :7], fb[same, :7])[0]
+                local = np.nonzero(iou > thr)[0]
+                if len(local):
+                    hit = np.nonzero(same)[0][local[0]]
+        if hit < 0:
+            members.append([row])
+            fused_rows.append(row.copy())
+            continue
+        members[hit].append(row)
+        mem = np.stack(members[hit])
+        w = mem[:, 7] / mem[:, 7].sum()
+        fused = fused_rows[hit]
+        fused[:6] = w @ mem[:, :6]
+        # circular yaw mean with pi-flip alignment to the cluster seed
+        seed = members[hit][0][6]
+        d = ((mem[:, 6] - seed + np.pi) % (2 * np.pi)) - np.pi
+        d = np.where(np.abs(d) > np.pi / 2,          # direction ambiguity:
+                     ((d + 2 * np.pi) % (2 * np.pi)) - np.pi, d)
+        fused[6] = (seed + np.arctan2(w @ np.sin(d), w @ np.cos(d))
+                    + np.pi) % (2 * np.pi) - np.pi
+    out = np.stack(fused_rows)
+    # score credit for EVERY cluster (incl. singletons): members' mean,
+    # scaled down when only a minority of views contributed
+    for i, mem_list in enumerate(members):
+        scores = np.asarray([m[7] for m in mem_list])
+        out[i, 7] = (scores.mean()
+                     * min(len(mem_list), num_views) / num_views)
+    out = out[np.argsort(-out[:, 7], kind="stable")]
+    return out[: cfg.max_detections]
 
 
 def tta_union(packed_by_mode, modes: Sequence[str]) -> np.ndarray:
@@ -97,19 +156,20 @@ def tta_union(packed_by_mode, modes: Sequence[str]) -> np.ndarray:
 
 def predict_tta(det, points: np.ndarray,
                 modes: Sequence[str] = MODES,
-                token: str = "") -> List[Box3D]:
+                token: str = "", merge: str = "nms") -> List[Box3D]:
     """Flip-ensembled detections for one sweep.
 
     det: a Detector; points (N, F) host cloud. Each mode runs the standard
     jitted pipeline on the flipped cloud (identical static shapes), boxes
-    are mapped back, and the union is merged by class-aware NMS at the
-    config's nms_iou_threshold. modes=("none",) degrades to exactly
-    det.predict.
+    are mapped back, and the union is merged (`merge`: "nms" or "wbf", see
+    merge_packed) at the config's nms_iou_threshold. modes=("none",) with
+    the default merge degrades to exactly det.predict.
     """
     cfg: PillarsConfig = det.config
     packed_by_mode = [det.predict_packed(flip_points(points, mode))
                       for mode in modes]
-    merged = merge_packed(tta_union(packed_by_mode, modes), cfg)
+    merged = merge_packed(tta_union(packed_by_mode, modes), cfg,
+                          method=merge, num_views=len(modes))
     names = cfg.class_names
     return [
         Box3D.from_array(row[:7], label=names[int(row[8])],
