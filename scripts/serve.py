@@ -7,12 +7,21 @@
 
 Endpoints:
   GET  /healthz            -> {"status": "ok", "backend": ..., "sweeps": N}
-  POST /predict            -> detections for ONE sweep
+  POST /predict            -> detections for ONE (pre-accumulated) cloud
        body: raw float32 little-endian (N, F) point buffer
              (F = config.num_input_features; header X-Point-Count: N),
              or JSON {"points": [[x, y, z, i], ...]}
        response: {"boxes": [{"center", "wlh", "yaw", "label", "score"}],
                   "num_boxes": K, "latency_ms": T, "batched": B}
+  POST /sweep              -> STREAMING multi-sweep serving (requires a
+       multi-sweep config, --num-sweeps K > 1): body is one RAW sweep
+       (N, num_raw_features) in the same binary/JSON wire; headers
+       X-Timestamp-Us (float), X-Pose-Rotation "w,x,y,z" and
+       X-Pose-Translation "x,y,z" (lidar->global; identity if omitted),
+       X-Stream-Id (default "default"). The server accumulates the last K
+       sweeps per stream into the newest sweep's frame (data/stream.py,
+       bit-exact vs the offline load_sweeps) and predicts on the
+       accumulated cloud. Response adds "sweeps_buffered".
 
 Two serving modes:
 
@@ -141,6 +150,8 @@ def make_handler(det, config, batcher=None):
     F = config.num_input_features
     stats = {"sweeps": 0}
     lock = threading.Lock()
+    accumulators: dict = {}      # stream id -> SweepAccumulator
+    acc_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "tpu-pillars/1.1"
@@ -165,24 +176,30 @@ def make_handler(det, config, batcher=None):
                              "backend": jax.default_backend(),
                              "sweeps": stats["sweeps"]})
 
+        def _read_points(self, width):
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("application/json"):
+                pts = np.asarray(json.loads(raw)["points"], np.float32)
+            else:
+                pts = np.frombuffer(raw, "<f4").reshape(-1, width).copy()
+                want = self.headers.get("X-Point-Count")
+                if want is not None and int(want) != len(pts):
+                    raise ValueError(
+                        f"X-Point-Count {want} != decoded {len(pts)}")
+            if pts.ndim != 2 or pts.shape[1] != width:
+                raise ValueError(f"points must be (N, {width}); "
+                                 f"got {pts.shape}")
+            return pts
+
         def do_POST(self):
+            if self.path == "/sweep":
+                return self._do_sweep()
             if self.path != "/predict":
                 return self._send(404, {"error": "unknown path"})
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(length)
-                ctype = self.headers.get("Content-Type", "")
-                if ctype.startswith("application/json"):
-                    pts = np.asarray(json.loads(raw)["points"], np.float32)
-                else:
-                    pts = np.frombuffer(raw, "<f4").reshape(-1, F).copy()
-                    want = self.headers.get("X-Point-Count")
-                    if want is not None and int(want) != len(pts):
-                        raise ValueError(
-                            f"X-Point-Count {want} != decoded {len(pts)}")
-                if pts.ndim != 2 or pts.shape[1] != F:
-                    raise ValueError(f"points must be (N, {F}); "
-                                     f"got {pts.shape}")
+                pts = self._read_points(F)
             except Exception as e:  # noqa: BLE001 — client error surface
                 return self._send(400, {"error": str(e)})
 
@@ -196,10 +213,12 @@ def make_handler(det, config, batcher=None):
                 return self._send(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — server error surface
                 return self._send(500, {"error": str(e)})
-            dt = (time.perf_counter() - t0) * 1e3
             with lock:
                 stats["sweeps"] += 1
-            self._send(200, {
+            self._send(200, self._boxes_payload(boxes, t0, batched))
+
+        def _boxes_payload(self, boxes, t0, batched, **extra):
+            return {
                 "boxes": [{
                     "center": [float(v) for v in b.center],
                     "wlh": [float(v) for v in b.wlh],
@@ -208,9 +227,55 @@ def make_handler(det, config, batcher=None):
                     "score": float(b.score),
                 } for b in boxes],
                 "num_boxes": len(boxes),
-                "latency_ms": round(dt, 2),
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
                 "batched": batched,
-            })
+                **extra,
+            }
+
+        def _do_sweep(self):
+            from tpu_pillars.data.stream import SweepAccumulator
+            from tpu_pillars.geometry.transforms import Pose
+
+            if config.num_sweeps <= 1:
+                return self._send(400, {
+                    "error": "/sweep needs a multi-sweep config "
+                             "(serve with --num-sweeps K > 1)"})
+            try:
+                pts = self._read_points(config.num_raw_features)
+                t_us = float(self.headers.get("X-Timestamp-Us", 0.0))
+                rot = self.headers.get("X-Pose-Rotation")
+                tra = self.headers.get("X-Pose-Translation")
+                pose = Pose.identity()
+                if rot or tra:
+                    pose = Pose(
+                        np.asarray([float(v) for v in
+                                    (rot or "1,0,0,0").split(",")]),
+                        np.asarray([float(v) for v in
+                                    (tra or "0,0,0").split(",")]))
+                stream = self.headers.get("X-Stream-Id", "default")
+            except Exception as e:  # noqa: BLE001 — client error surface
+                return self._send(400, {"error": str(e)})
+
+            with acc_lock:
+                acc = accumulators.setdefault(
+                    stream, SweepAccumulator(config.num_sweeps))
+                cloud = acc.push(pts, pose, t_us)
+                buffered = len(acc)
+
+            t0 = time.perf_counter()
+            try:
+                if batcher is not None:
+                    boxes, batched = batcher.submit(cloud)
+                else:
+                    boxes, batched = det.predict(cloud), 1
+            except DynamicBatcher.Overloaded as e:
+                return self._send(503, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — server error surface
+                return self._send(500, {"error": str(e)})
+            with lock:
+                stats["sweeps"] += 1
+            self._send(200, self._boxes_payload(
+                boxes, t0, batched, sweeps_buffered=buffered))
 
     return Handler
 
@@ -221,6 +286,10 @@ def main() -> None:
     p.add_argument("--port", type=int, default=8433)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--full-size", action="store_true")
+    p.add_argument("--num-sweeps", type=int, default=0,
+                   help="override config.num_sweeps (K > 1 enables the "
+                        "/sweep streaming endpoint; the checkpoint must "
+                        "match the resulting config)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
     p.add_argument("--batch-size", type=int, default=1,
                    help="dynamic-batching window: >1 coalesces concurrent "
@@ -241,6 +310,10 @@ def main() -> None:
     from tpu_pillars.detector import Detector
 
     config = PillarsConfig() if args.full_size else tiny_config()
+    if args.num_sweeps > 1:
+        import dataclasses
+
+        config = dataclasses.replace(config, num_sweeps=args.num_sweeps)
     det = Detector.from_checkpoint(config, args.ckpt)
 
     # compile + warm before accepting traffic (full-size: ~1 min on TPU)

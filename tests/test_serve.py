@@ -122,6 +122,83 @@ def server_batched(tmp_path_factory):
     proc.wait(timeout=30)
 
 
+@pytest.fixture(scope="module")
+def server_multisweep(tmp_path_factory):
+    """serve.py with a 3-sweep streaming config (/sweep endpoint)."""
+    import dataclasses
+
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    cfg = dataclasses.replace(CFG, num_sweeps=3)
+    out = tmp_path_factory.mktemp("serve_ms")
+    ckpt = str(out / "ck.msgpack")
+    state = create_train_state(cfg, TrainConfig(batch_size=1, max_gt_boxes=4,
+                                                total_steps=10))
+    save_checkpoint(ckpt, state, config=cfg)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--ckpt", ckpt, "--port", "0", "--platform", "cpu",
+         "--num-sweeps", "3"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    line = proc.stdout.readline()
+    assert "serving on http://" in line, (line, proc.stderr.read()[-2000:])
+    yield line.split()[2], ckpt, cfg
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_sweep_streaming_endpoint(server_multisweep, rng):
+    """/sweep accumulates per stream and matches a local detector fed the
+    locally-accumulated cloud (identity poses)."""
+    url, ckpt, cfg = server_multisweep
+    from tpu_pillars.data.stream import SweepAccumulator
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.geometry.transforms import Pose
+
+    det = Detector.from_checkpoint(cfg, ckpt)
+    acc = SweepAccumulator(3)
+    F = cfg.num_raw_features
+    last_resp = cloud = None
+    for k in range(3):
+        n = 300
+        pts = np.zeros((n, F), np.float32)
+        pts[:, 0] = rng.uniform(cfg.x_min, cfg.x_max, n)
+        pts[:, 1] = rng.uniform(cfg.y_min, cfg.y_max, n)
+        pts[:, 2] = rng.uniform(cfg.z_min, cfg.z_max, n)
+        pts[:, 3] = rng.uniform(0, 1, n)
+        t_us = k * 1e5
+        req = urllib.request.Request(
+            url + "/sweep", data=pts.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Point-Count": str(n),
+                     "X-Timestamp-Us": str(t_us)}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            last_resp = json.loads(r.read())
+        assert last_resp["sweeps_buffered"] == k + 1
+        cloud = acc.push(pts, Pose.identity(), t_us)
+
+    want = det.predict(cloud)
+    assert last_resp["num_boxes"] == len(want)
+    for a, b in zip(last_resp["boxes"], want):
+        np.testing.assert_allclose(a["center"], b.center, atol=1e-5)
+        assert a["label"] == b.label
+
+
+def test_sweep_on_single_sweep_config_is_400(server):
+    req = urllib.request.Request(
+        server + "/sweep", data=b"", method="POST",
+        headers={"Content-Type": "application/octet-stream"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
 def test_dynamic_batching_coalesces_and_matches(server_batched, rng):
     import threading
 
