@@ -5,8 +5,11 @@ Run: timeout 3600 python scripts/probe_fused_train.py > /tmp/probe_ft.log 2>&1
 (one process, sequential compiles; the FIRST large compile can take 10-17 min
 through the axon compile service — see CLAUDE.md.)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,11 @@ Run: timeout 1800 python scripts/probe_nms_pallas.py
 (one process; kernels compile in seconds, but budget for the axon
 first-large-compile pathology anyway — CLAUDE.md.)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
