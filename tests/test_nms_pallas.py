@@ -148,6 +148,27 @@ def test_postprocess_nms_impl_parity(rng):
                                   np.asarray(b.class_ids))
 
 
+def test_nms_impl_auto_resolution():
+    """'auto' resolves to the measured per-backend winner (pallas on TPU,
+    fixpoint elsewhere), and bad names fail at build time."""
+    import pytest
+
+    from tpu_pillars.ops.postprocess import resolve_nms_impl
+
+    expected = "pallas" if jax.default_backend() == "tpu" else "fixpoint"
+    assert resolve_nms_impl("auto") == expected
+    assert resolve_nms_impl("fixpoint") == "fixpoint"
+    assert resolve_nms_impl("pallas") == "pallas"
+    with pytest.raises(ValueError, match="nms_impl"):
+        resolve_nms_impl("fastest")
+    # build_postprocess_fn validates eagerly, before any trace
+    from tpu_pillars.config import tiny_config
+    from tpu_pillars.detector import build_postprocess_fn
+
+    with pytest.raises(ValueError, match="nms_impl"):
+        build_postprocess_fn(tiny_config(), nms_impl="fastest")
+
+
 def test_top_k_two_stage_exact(rng):
     """Values AND indices (incl. lowest-index tie-breaks) must equal
     lax.top_k — the candidate-selection contract of _top_candidates."""

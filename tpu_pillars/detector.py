@@ -232,19 +232,17 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     return run_model
 
 
-def build_postprocess_fn(config: PillarsConfig, nms_impl: str = "fixpoint"):
+def build_postprocess_fn(config: PillarsConfig, nms_impl: str = "auto"):
     """Stage 2: wire tensors (own, box_p, dir_p) -> Detections (anchors
     closed over). Consumes the _wire_head stage-1 handoff; same math as
     ops.postprocess.postprocess (tests pin them equal).
 
-    nms_impl: "fixpoint" (XLA over-matrix, the measured default) or
-    "pallas" (ops/nms_pallas.py block-gated overlap kernel — TPU timing
-    pending, see its docstring)."""
-    from tpu_pillars.ops.postprocess import postprocess_w
+    nms_impl: "auto" (default — block-gated Pallas overlap kernel on TPU,
+    XLA fixpoint elsewhere; measured 2026-08-18: full batch-8 postprocess
+    31.2 vs 34.4 ms, keep sets identical), or force "fixpoint"/"pallas"."""
+    from tpu_pillars.ops.postprocess import postprocess_w, resolve_nms_impl
 
-    if nms_impl not in ("fixpoint", "pallas"):   # fail at build, not trace
-        raise ValueError(f"unknown nms_impl {nms_impl!r}; "
-                         f"expected 'fixpoint' or 'pallas'")
+    resolve_nms_impl(nms_impl)                   # fail at build, not trace
     anchors, anchor_cls = make_anchors(config)
     anchors_j = jnp.asarray(anchors)
     anchor_cls_j = jnp.asarray(anchor_cls)
@@ -266,7 +264,7 @@ class Detector:
                  fused_frontend: bool | None = None,
                  host_crop: bool = True,
                  wire_buckets: "Optional[tuple]" = None,
-                 nms_impl: str = "fixpoint"):
+                 nms_impl: str = "auto"):
         """wire_dtype: dtype of the host->device point upload. Two 2-byte
         options halve the per-sweep transfer (the dominant serving cost on
         PCIe/tunnel links); both are opt-in because they break bit-for-boxes
@@ -295,7 +293,8 @@ class Detector:
         semantic difference is strictly better truncation: the first-N
         budget now counts in-range points only.
 
-        nms_impl: "fixpoint" (default) or "pallas" — see
+        nms_impl: "auto" (default: Pallas block-gated NMS on TPU, XLA
+        fixpoint elsewhere) or force "fixpoint"/"pallas" — see
         build_postprocess_fn.
 
         wire_buckets: optional ascending static upload sizes (last entry

@@ -37,9 +37,15 @@ ops/iou.py:92). tests/test_nms_pallas.py pins: overlap matrices equal
 everywhere except pairs whose float64 IoU is within 1e-4 of the threshold,
 and keep sets equal on scenes with no such boundary pair.
 
-Status: CPU-interpret verified; TPU timing PENDING the chip's return (see
-CLAUDE.md round-3 session notes) — default stays the XLA fixpoint until
-this measures a win (scripts/probe_nms_pallas.py is the A/B).
+Status: MEASURED WIN — the TPU default via nms_impl="auto" (v5e,
+2026-08-18, scripts/probe_nms_pallas.py, batch-8, K=1024, clustered
+class-shifted candidates): NMS-only 24.41 ms class-blocked / 24.96
+score-order vs 26.83 XLA fixpoint; full wire postprocess 31.20 vs
+34.40 ms (~9%); keep sets identical on all 8192 candidates. (Absolute
+numbers that day ran ~2x the round-3 records across the board — a
+post-outage environment-scale shift; the same-day ratios are the
+decision.) Off-TPU, "auto" keeps the XLA fixpoint (interpret-mode Pallas
+is test-only slow).
 """
 
 from __future__ import annotations

@@ -47,8 +47,11 @@ def top_k_two_stage(x, k: int, rows: int = 64):
 
     Candidate replacement for the (A=720k, k=1024) candidate selection in
     _top_candidates — sorts rows of A/rows instead of one A-length
-    partial sort. TPU timing PENDING (scripts/probe_nms_pallas.py A/Bs
-    it); not wired as default until measured.
+    partial sort. MEASURED (v5e, 2026-08-18, scripts/probe_nms_pallas.py,
+    batch-8 top-1024 of 720k): lax.top_k 28.11 ms vs two-stage 30.64 /
+    30.68 / 28.32 ms at rows=32/64/128 — lax.top_k's single partial sort
+    wins or ties at every row split, so this stays NON-default; kept as
+    the exact-equivalence alternative (tests pin tie-break parity).
     """
     n = x.shape[0]
     m = -(-n // rows)                 # ceil; pad with -inf, never selected
@@ -74,7 +77,7 @@ def _top_candidates(own_logits, anchor_cls, config):
 
 def postprocess_t(cls_t, box_t, dir_t, anchors, anchor_cls,
                   config: PillarsConfig,
-                  nms_impl: str = "fixpoint") -> Detections:
+                  nms_impl: str = "auto") -> Detections:
     """Feature-major postprocess: cls_t (num_classes, A), box_t (7, A),
     dir_t (2, A); anchors (A, 7), anchor_cls (A,) compile-time constants.
 
@@ -109,7 +112,7 @@ def postprocess_t(cls_t, box_t, dir_t, anchors, anchor_cls,
 
 def postprocess_w(own, box_p, dir_p, anchors, anchor_cls,
                   config: PillarsConfig,
-                  nms_impl: str = "fixpoint") -> Detections:
+                  nms_impl: str = "auto") -> Detections:
     """Serving-wire postprocess: own (A,) own-class logits in CANONICAL
     anchor order (a = hw * A_loc + a_loc); box_p (7, A''), dir_p (2, A'')
     feature-major in the conv-natural PERMUTED order (a'' = a_loc * HW +
@@ -144,7 +147,7 @@ def postprocess_w(own, box_p, dir_p, anchors, anchor_cls,
 
 def postprocess(cls_logits, box_deltas, dir_logits, anchors, anchor_cls,
                 config: PillarsConfig,
-                nms_impl: str = "fixpoint") -> Detections:
+                nms_impl: str = "auto") -> Detections:
     """cls_logits (A, K), box_deltas (A, 7), dir_logits (A, 2);
     anchors (A, 7), anchor_cls (A,) int32 — both compile-time constants."""
     own = jnp.take_along_axis(cls_logits, anchor_cls[:, None], axis=1)[:, 0]
@@ -157,9 +160,23 @@ def postprocess(cls_logits, box_deltas, dir_logits, anchors, anchor_cls,
                          config, nms_impl)
 
 
+def resolve_nms_impl(nms_impl: str) -> str:
+    """'auto' -> the measured winner per backend: the block-gated Pallas
+    overlap kernel on TPU (full postprocess 31.2 vs 34.4 ms batch-8, same-day
+    A/B 2026-08-18, scripts/probe_nms_pallas.py; keep sets identical), the
+    XLA fixpoint elsewhere (interpret-mode Pallas is test-only slow)."""
+    if nms_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "fixpoint"
+    if nms_impl not in ("fixpoint", "pallas"):
+        raise ValueError(f"unknown nms_impl {nms_impl!r}; "
+                         f"expected 'auto', 'fixpoint' or 'pallas'")
+    return nms_impl
+
+
 def _nms_and_pack(boxes, dir_cls, cls_of, top_scores, cand_valid,
                   config: PillarsConfig,
-                  nms_impl: str = "fixpoint") -> Detections:
+                  nms_impl: str = "auto") -> Detections:
+    nms_impl = resolve_nms_impl(nms_impl)
     D = config.max_detections
     flip = (boxes[:, 6] > 0).astype(dir_cls.dtype) != dir_cls
     yaw = wrap_angle(boxes[:, 6] + jnp.where(flip, jnp.pi, 0.0))
