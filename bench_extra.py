@@ -5,6 +5,12 @@ RESIDENT inference loop (inputs pre-staged, one pull at the end — chip-side
 compute without the ~30-60 MB/s tunnel masking it), and the BASELINE
 config #4 multi-sweep operating point. Prints human-readable lines to
 stderr and a JSON summary to stdout.
+
+Caveat (measured 2026-08-18): the train-step section runs LAST, after ~6
+large compiles + device loops in this same process, and reads ~2x slower
+than a fresh-process probe taken minutes apart (328 vs 153 ms b4 fused
+f32). Treat this file's train rows as a smoke number; fresh-process
+probes (scripts/probe_fused_train.py) are the authority for training.
 """
 
 from __future__ import annotations
