@@ -117,6 +117,50 @@ def _use_fused_frontend(config: PillarsConfig, use_pallas_pfn: bool,
     return fused_frontend and (n & (n - 1)) == 0
 
 
+def build_canvas_fn(config: PillarsConfig, dtype=jnp.float32,
+                    use_pallas_pfn: bool = True,
+                    fused_frontend: bool | None = None):
+    """Front half of stage 1: f(variables, points (M, F), num_points) ->
+    BEV canvas (H, W, C). Shared by build_model_fn and the pillar-axis
+    sharded front end (parallel.spatial). Dispatch rules: see
+    build_model_fn."""
+    from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.bev_pallas import (
+        scatter_to_bev_auto, scatter_to_bev_auto_pid,
+    )
+    from tpu_pillars.ops.emit_pallas import pillarize_auto
+    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
+    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
+
+    model = PointPillars(config, dtype=dtype)
+
+    def canvas_fn(variables, points, num_points):
+        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            feats, pid_per, pmask = pillarize_pfn_fused(
+                points[None], num_points[None], w, b, config)
+            return scatter_to_bev_auto_pid(feats, pid_per, pmask,
+                                           config)[0]
+        elif use_pallas_pfn:
+            batch = pillarize_auto(points, num_points, config)
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            pillar_feats = pfn_fused(batch.features, batch.mask, w, b)
+            return scatter_to_bev_auto(pillar_feats, batch.coords,
+                                       batch.pillar_mask, config)
+        else:
+            batch = pillarize_auto(points, num_points, config)
+            return model.apply(variables, batch,
+                               method=_PP.canvas_from_batch)
+
+    return canvas_fn
+
+
 def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
                    use_pallas_pfn: bool = True,
                    fused_frontend: bool | None = None):
@@ -133,39 +177,15 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
     piece on the CPU backend too.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
-    from tpu_pillars.ops.bev_pallas import (
-        scatter_to_bev_auto, scatter_to_bev_auto_pid,
-    )
-    from tpu_pillars.ops.emit_pallas import pillarize_auto
-    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
-    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
     wire_head = _wire_head(config, dtype=dtype)
+    canvas_fn = build_canvas_fn(config, dtype=dtype,
+                                use_pallas_pfn=use_pallas_pfn,
+                                fused_frontend=fused_frontend)
 
     def run_model(variables, points, num_points):
-        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
-            p = variables["params"]["pfn"]
-            bs = variables["batch_stats"]["pfn"]["bn"]
-            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
-                           p["bn"]["bias"], bs["mean"], bs["var"])
-            feats, pid_per, pmask = pillarize_pfn_fused(
-                points[None], num_points[None], w, b, config)
-            canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask,
-                                             config)[0]
-        elif use_pallas_pfn:
-            batch = pillarize_auto(points, num_points, config)
-            p = variables["params"]["pfn"]
-            bs = variables["batch_stats"]["pfn"]["bn"]
-            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
-                           p["bn"]["bias"], bs["mean"], bs["var"])
-            pillar_feats = pfn_fused(batch.features, batch.mask, w, b)
-            canvas = scatter_to_bev_auto(pillar_feats, batch.coords,
-                                    batch.pillar_mask, config)
-        else:
-            batch = pillarize_auto(points, num_points, config)
-            canvas = model.apply(variables, batch,
-                                 method=_PP.canvas_from_batch)
+        canvas = canvas_fn(variables, points, num_points)
         # wire handoff: own canonical (A,), box/dir feature-major permuted
         # (k, A'') straight out of the head matmuls (see _wire_head — the
         # transposed (k, A) handoff this replaces cost 15.2 ms at batch 8,
@@ -175,6 +195,51 @@ def build_model_fn(config: PillarsConfig, dtype=jnp.float32,
         return wire_head(variables["params"]["head"], feat)
 
     return run_model
+
+
+def build_canvas_fn_batched(config: PillarsConfig, dtype=jnp.float32,
+                            use_pallas_pfn: bool = True,
+                            fused_frontend: bool | None = None):
+    """Front half of the batched stage 1: f(variables, points (B, M, F),
+    num_points (B,)) -> BEV canvas (B, H, W, C). Natively batched (one
+    sort, one emit launch, one conv-free scatter). Dispatch rules: see
+    build_model_fn."""
+    from tpu_pillars.models.pointpillars import PointPillars as _PP
+    from tpu_pillars.ops.bev_pallas import (
+        scatter_to_bev_auto, scatter_to_bev_auto_pid,
+    )
+    from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
+    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
+    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
+
+    model = PointPillars(config, dtype=dtype)
+
+    def canvas_fn(variables, points, num_points):
+        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            feats, pid_per, pmask = pillarize_pfn_fused(
+                points, num_points, w, b, config)
+            return scatter_to_bev_auto_pid(feats, pid_per, pmask, config)
+        elif use_pallas_pfn:
+            batch = pillarize_batch_auto(points, num_points, config)
+            B, P, N, D = batch.features.shape
+            p = variables["params"]["pfn"]
+            bs = variables["batch_stats"]["pfn"]["bn"]
+            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
+                           p["bn"]["bias"], bs["mean"], bs["var"])
+            flat = pfn_fused(batch.features.reshape(B * P, N, D),
+                             batch.mask.reshape(B * P, N), w, b)
+            return scatter_to_bev_auto(flat.reshape(B, P, -1), batch.coords,
+                                       batch.pillar_mask, config)
+        else:
+            batch = pillarize_batch_auto(points, num_points, config)
+            return model.apply(variables, batch,
+                               method=_PP.canvas_from_batch)
+
+    return canvas_fn
 
 
 def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
@@ -190,40 +255,15 @@ def build_model_fn_batched(config: PillarsConfig, dtype=jnp.float32,
     for the fused-front-end dispatch rules.
     """
     from tpu_pillars.models.pointpillars import PointPillars as _PP
-    from tpu_pillars.ops.bev_pallas import (
-        scatter_to_bev_auto, scatter_to_bev_auto_pid,
-    )
-    from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
-    from tpu_pillars.ops.fused_pfn import pillarize_pfn_fused
-    from tpu_pillars.ops.pfn_pallas import fold_bn, pfn_fused
 
     model = PointPillars(config, dtype=dtype)
     wire_head = _wire_head(config, dtype=dtype)
+    canvas_fn = build_canvas_fn_batched(config, dtype=dtype,
+                                        use_pallas_pfn=use_pallas_pfn,
+                                        fused_frontend=fused_frontend)
 
     def run_model(variables, points, num_points):
-        if _use_fused_frontend(config, use_pallas_pfn, fused_frontend):
-            p = variables["params"]["pfn"]
-            bs = variables["batch_stats"]["pfn"]["bn"]
-            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
-                           p["bn"]["bias"], bs["mean"], bs["var"])
-            feats, pid_per, pmask = pillarize_pfn_fused(
-                points, num_points, w, b, config)
-            canvas = scatter_to_bev_auto_pid(feats, pid_per, pmask, config)
-        elif use_pallas_pfn:
-            batch = pillarize_batch_auto(points, num_points, config)
-            B, P, N, D = batch.features.shape
-            p = variables["params"]["pfn"]
-            bs = variables["batch_stats"]["pfn"]["bn"]
-            w, b = fold_bn(p["linear"]["kernel"], p["bn"]["scale"],
-                           p["bn"]["bias"], bs["mean"], bs["var"])
-            flat = pfn_fused(batch.features.reshape(B * P, N, D),
-                             batch.mask.reshape(B * P, N), w, b)
-            canvas = scatter_to_bev_auto(flat.reshape(B, P, -1), batch.coords,
-                                    batch.pillar_mask, config)
-        else:
-            batch = pillarize_batch_auto(points, num_points, config)
-            canvas = model.apply(variables, batch,
-                                 method=_PP.canvas_from_batch)
+        canvas = canvas_fn(variables, points, num_points)
         # wire handoff (see build_model_fn / _wire_head)
         feat = model.apply(variables, canvas,
                            method=_PP.features_from_canvas)
