@@ -262,11 +262,12 @@ _RCHUNK = 256     # pillars per grid step
 
 
 def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
-                     c: int, cpr: int, whalf: int, hwr: int, n_chunks: int):
+                     c: int, cpr: int, whalf: int, hwr: int, n_chunks: int,
+                     rchunk: int = _RCHUNK):
     b = pl.program_id(0)
     j = pl.program_id(1)
     wrows = 2 * whalf
-    k = _RCHUNK
+    k = rchunk
 
     @pl.when(j == 0)
     def _():
@@ -345,10 +346,21 @@ def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
         carry_ref[0] = win_base
 
 
-@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+@functools.partial(jax.jit, static_argnames=("config", "interpret", "whalf",
+                                             "rchunk"))
 def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
-                        config: PillarsConfig, interpret: bool | None = None):
-    """Streaming ring variant of scatter_to_bev_emit — same contract."""
+                        config: PillarsConfig, interpret: bool | None = None,
+                        whalf: int | None = None,
+                        rchunk: int = _RCHUNK):
+    """Streaming ring variant of scatter_to_bev_emit — same contract.
+
+    whalf/rchunk are tuning knobs (flush half-window rows / pillars per
+    grid step). The defaults are the measured optimum at the full
+    operating point (2026-08-18 sweep, b8 standalone loop, 11k pillars:
+    w1000/r256 9.58 ms vs w400 10.24, w800 9.54 (tie), r512 11.03,
+    r1024 VMEM-OOM — the (rchunk, 2*whalf) one-hot/iota intermediates
+    blow the 16 MB scoped limit; earlier sweep: w2000 worse). whalf must
+    divide H*W/cpr and be a multiple of 8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     H, W = config.grid_h, config.grid_w
@@ -356,10 +368,12 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
     HW = H * W
     cpr = 128 // C
     hwr = HW // cpr
-    whalf = 0
-    for r in range(8, 1025, 8):
-        if hwr % r == 0:
-            whalf = r
+    if whalf is None:
+        whalf = 0
+        for r in range(8, 1025, 8):
+            if hwr % r == 0:
+                whalf = r
+    assert whalf % 8 == 0 and hwr % max(whalf, 1) == 0, (whalf, hwr)
     # flush invariant: each add round covers exactly the open window
     # [win_base, win_base + 2*whalf) and halves flush only once every row
     # below them is closed, so distinct unflushed rows never share a ring
@@ -369,7 +383,7 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
         f"scatter_to_bev_ring needs a window half-size dividing "
         f"H*W/cpr={hwr}; use scatter_to_bev for this geometry")
 
-    p_pad = ((P + _RCHUNK - 1) // _RCHUNK) * _RCHUNK
+    p_pad = ((P + rchunk - 1) // rchunk) * rchunk
     pid_eff = jnp.where(pillar_mask, pid_per, HW)
     feats = pillar_features.astype(jnp.float32)
     if p_pad != P:
@@ -377,18 +391,18 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
             [feats, jnp.zeros((B, p_pad - P, C), jnp.float32)], axis=1)
         pid_eff = jnp.concatenate(
             [pid_eff, jnp.full((B, p_pad - P), HW, pid_eff.dtype)], axis=1)
-    n_chunks = p_pad // _RCHUNK
+    n_chunks = p_pad // rchunk
     pid8 = jnp.broadcast_to(
         pid_eff.astype(jnp.float32).reshape(B * p_pad, 1), (B * p_pad, 8))
 
     out = pl.pallas_call(
         functools.partial(_bev_ring_kernel, c=C, cpr=cpr, whalf=whalf,
-                          hwr=hwr, n_chunks=n_chunks),
+                          hwr=hwr, n_chunks=n_chunks, rchunk=rchunk),
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((_RCHUNK, C), lambda b, j: (b * n_chunks + j, 0),
+            pl.BlockSpec((rchunk, C), lambda b, j: (b * n_chunks + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RCHUNK, 8), lambda b, j: (b * n_chunks + j, 0),
+            pl.BlockSpec((rchunk, 8), lambda b, j: (b * n_chunks + j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
