@@ -84,5 +84,13 @@ class PointPillars(nn.Module):
         """RPN only: (..., H, W, C_in) canvas -> (..., H/2, W/2, C_feat)
         feature map. Serving entry point — the detector computes the head
         as explicit matmuls on the transposed feature map (the feature-
-        major wire; see detector._wire_head) instead of self.head."""
+        major wire; see detector._wire_head) instead of self.head. The
+        train step does the same with the canonical-order feature-major
+        head (models.head.feature_major_head)."""
         return self.rpn(canvas)
+
+    def features_from_batch(self, batch: PillarBatch):
+        """PFN + scatter + RPN: pillars -> (..., H/2, W/2, C_feat) feature
+        map — the classic-front-end training twin of features_from_canvas
+        (the head runs outside flax as feature_major_head)."""
+        return self.rpn(self.canvas_from_batch(batch))

@@ -45,16 +45,29 @@ def detection_loss(cls_logits, box_deltas, dir_logits, targets: Targets,
     """All inputs (A, ·) for one sweep; see models.ModelOutputs.
 
     Internally everything runs feature-major — (k, A) with the 720k-anchor
-    axis on TPU lanes. Anchor-major (A, k) intermediates tile to (8, 128)
-    vregs with 9, 7 or 2 live lanes (14-64x padding in VPU work and HBM
-    traffic); the entry transposes fuse into the producers, and on v5e they
-    cut the loss from ~13 to ~2 ms per batch-4 step. The 2-way direction CE
+    axis on TPU lanes (this wrapper transposes at entry and forwards to
+    detection_loss_fm; prefer that + models.head.feature_major_head in
+    training hot paths, where the vmapped 720k-anchor transposes are a
+    real relayout paid in BOTH fwd and bwd). Anchor-major (A, k)
+    intermediates tile to (8, 128) vregs with 9, 7 or 2 live lanes (14-64x
+    padding in VPU work and HBM traffic); on v5e going feature-major cut
+    the loss from ~13 to ~2 ms per batch-4 step. The 2-way direction CE
     is a select, not a take_along_axis (a 720k-element gather costs ~45
     cycles/element on TPU)."""
+    return detection_loss_fm(cls_logits.T, box_deltas.T, dir_logits.T,
+                             targets, config)
+
+
+def detection_loss_fm(cls_fm, box_fm, dir_fm, targets: Targets,
+                      config: PillarsConfig) -> LossBreakdown:
+    """detection_loss with FEATURE-MAJOR inputs — cls (K, A), box (7, A),
+    dir (2, A) — exactly the layout models.head.feature_major_head emits
+    and Targets already carries; no transpose exists anywhere in the
+    loss graph (fwd or bwd)."""
     norm = jnp.maximum(targets.num_pos, 1.0)
 
     cls_el = sigmoid_focal_loss(
-        cls_logits.T, targets.cls_onehot,
+        cls_fm, targets.cls_onehot,
         config.focal_alpha, config.focal_gamma
     )                                                    # (9, A)
     cls_loss = jnp.sum(cls_el * targets.cls_weights[None, :]) / norm
@@ -62,7 +75,7 @@ def detection_loss(cls_logits, box_deltas, dir_logits, targets: Targets,
     # sin-encoded angle residual: replaces (tp - tt) with sin(tp - tt),
     # making theta and theta+pi equivalent for localization (dir head
     # disambiguates) [PointPillars paper section 2.3]
-    box_t = box_deltas.T                                 # (7, A)
+    box_t = box_fm                                       # (7, A)
     reg_t = targets.reg_targets
     diff = box_t - reg_t
     angle = jnp.sin(box_t[6] - reg_t[6])
@@ -70,7 +83,7 @@ def detection_loss(cls_logits, box_deltas, dir_logits, targets: Targets,
     loc_el = smooth_l1(diff)
     loc_loss = jnp.sum(loc_el * targets.reg_weights[None, :]) / norm
 
-    logp = jax.nn.log_softmax(dir_logits.T, axis=0)      # (2, A)
+    logp = jax.nn.log_softmax(dir_fm, axis=0)            # (2, A)
     dir_el = -jnp.where(targets.dir_targets == 1, logp[1], logp[0])
     dir_loss = jnp.sum(dir_el * targets.reg_weights) / norm
 

@@ -17,7 +17,7 @@ import optax
 from tpu_pillars.config import PillarsConfig
 from tpu_pillars.models.pointpillars import PointPillars
 from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
-from tpu_pillars.ops.losses import LossBreakdown, detection_loss
+from tpu_pillars.ops.losses import LossBreakdown, detection_loss_fm
 from tpu_pillars.ops.target_assigner import make_classwise_assigner
 from tpu_pillars.ops.voxelize import PillarBatch
 from tpu_pillars.train.state import TrainState
@@ -115,13 +115,22 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         assign_b = jax.vmap(make_classwise_assigner(
             config, max_gt_per_class=max_gt_per_class, iou_chunk=iou_chunk))
 
-    def _loss_from_outputs(outputs, batch):
+    def _loss_from_feat(feat, params, batch):
+        # feature-major head + loss: the anchor axis stays on lanes from
+        # the head matmuls through every loss term — no (A, k<=9)
+        # anchor-major tensor and no 720k-anchor transpose exists in the
+        # train graph, fwd or bwd (grad A/B vs the SSDHead + entry-
+        # transpose formulation: 113.2 -> 108.4 ms b4, identical loss;
+        # see models.head.feature_major_head)
+        from tpu_pillars.models.head import feature_major_head
+
+        cls_fm, box_fm, dir_fm = feature_major_head(
+            params["head"], feat, config.num_classes,
+            config.anchors_per_loc, dtype=compute_dtype)
         targets = assign_b(batch.gt_boxes, batch.gt_classes, batch.gt_valid)
         losses = jax.vmap(
-            lambda c, b, d, t: detection_loss(c, b, d, t, config)
-        )(outputs.cls_logits.astype(jnp.float32),
-          outputs.box_deltas.astype(jnp.float32),
-          outputs.dir_logits.astype(jnp.float32), targets)
+            lambda c, b, d, t: detection_loss_fm(c, b, d, t, config)
+        )(cls_fm, box_fm, dir_fm, targets)
         total = jnp.mean(losses.total)
         summary = LossBreakdown(
             total=total,
@@ -133,11 +142,12 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         return total, summary
 
     def loss_fn(params, batch_stats, pb: PillarBatch, batch: TrainBatch):
-        outputs, mutated = model.apply(
+        feat, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, pb,
+            method=PointPillars.features_from_batch,
             mutable=["batch_stats"],
         )
-        total, summary = _loss_from_outputs(outputs, batch)
+        total, summary = _loss_from_feat(feat, params, batch)
         return total, (summary, mutated["batch_stats"])
 
     def loss_fn_fused(params, batch_stats, table, meta, batch: TrainBatch):
@@ -161,9 +171,10 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                            axis=-1)
         canvas = scatter_to_bev(feats.astype(compute_dtype), coords,
                                 cnt > 0.0, config)
-        outputs, mutated = model.apply(
+        feat, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, canvas,
-            method=PointPillars.detect_from_canvas, mutable=["batch_stats"],
+            method=PointPillars.features_from_canvas,
+            mutable=["batch_stats"],
         )
         # the pfn module never ran — its running stats are this path's job
         # (same momentum/eps as models.pfn.MaskedBatchNorm defaults)
@@ -174,7 +185,7 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
             "mean": mom * old["mean"] + (1.0 - mom) * b_mean,
             "var": mom * old["var"] + (1.0 - mom) * b_var,
         }}
-        total, summary = _loss_from_outputs(outputs, batch)
+        total, summary = _loss_from_feat(feat, params, batch)
         return total, (summary, new_stats)
 
     def grads_of(params, batch_stats, batch: TrainBatch):
