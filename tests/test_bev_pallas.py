@@ -96,3 +96,36 @@ def test_bev_ring_dense_and_sparse_extremes(rng):
     got2 = scatter_to_bev_ring(feats, pid_sparse, mask2, CFG)
     want2 = scatter_to_bev(feats, coords2, mask2, CFG)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+
+def test_ring_diff_grads_match_xla_scatter(rng):
+    """scatter_to_bev_ring_diff: forward bit-equal to the XLA scatter and
+    custom-VJP cotangents equal to XLA's scatter transpose (the train
+    path's dispatcher uses it on TPU; see scatter_to_bev_train_auto)."""
+    import jax
+
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_ring_diff
+
+    batch = _pillars_from_cloud(rng, [1500, 2000])
+    B, P = batch.pillar_mask.shape
+    C = 64
+    feats = jnp.asarray(rng.normal(size=(B, P, C)).astype(np.float32))
+    pid = batch.coords[..., 0] * CFG.grid_w + batch.coords[..., 1]
+    probe = jnp.asarray(
+        rng.normal(size=(B, CFG.grid_h, CFG.grid_w, C)).astype(np.float32))
+
+    def via_ring(f):
+        return jnp.sum(scatter_to_bev_ring_diff(
+            f, pid, batch.pillar_mask, CFG) * probe)
+
+    def via_xla(f):
+        return jnp.sum(scatter_to_bev(
+            f, batch.coords, batch.pillar_mask, CFG) * probe)
+
+    np.testing.assert_array_equal(np.asarray(via_ring(feats)),
+                                  np.asarray(via_xla(feats)))
+    g_ring = jax.grad(via_ring)(feats)
+    g_xla = jax.grad(via_xla)(feats)
+    np.testing.assert_array_equal(np.asarray(g_ring), np.asarray(g_xla))
+    # padded/invalid pillar slots get zero cotangent
+    assert not np.asarray(g_ring)[~np.asarray(batch.pillar_mask)].any()

@@ -182,6 +182,68 @@ def scatter_to_bev_emit(pillar_features, pid_per, pillar_mask,
     return out.reshape(B, H, W, C)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scatter_to_bev_ring_diff(pillar_features, pid_per, pillar_mask,
+                             config: PillarsConfig):
+    """Differentiable ring scatter for TRAINING: the streaming ring kernel
+    forward (bit-exact, ~2x the XLA scatter) + an explicit row-gather
+    backward. The scatter writes each valid pillar's C features to its own
+    canvas cell exactly once, so the cotangent of `pillar_features` is
+    simply the canvas cotangent read back at each pillar's cell (a
+    sublane-axis row gather — cheap; it is the LANE-axis gathers that are
+    pathological on TPU, CLAUDE.md). Same contract/precondition as
+    scatter_to_bev_ring (ascending pillar ids per sample)."""
+    return scatter_to_bev_ring(pillar_features, pid_per, pillar_mask, config)
+
+
+def _ring_diff_fwd(pillar_features, pid_per, pillar_mask,
+                   config: PillarsConfig):
+    out = scatter_to_bev_ring(pillar_features, pid_per, pillar_mask, config)
+    return out, (pid_per, pillar_mask)
+
+
+def _ring_diff_bwd(config: PillarsConfig, res, g):
+    pid_per, pillar_mask = res
+    H, W = config.grid_h, config.grid_w
+    B, P = pid_per.shape
+    C = g.shape[-1]
+    g2 = g.reshape(B, H * W, C)
+    idx = jnp.where(pillar_mask, pid_per, 0).astype(jnp.int32)
+    feats_bar = jnp.take_along_axis(g2, idx[..., None], axis=1)
+    feats_bar = feats_bar * pillar_mask[..., None].astype(feats_bar.dtype)
+    return feats_bar, None, None
+
+
+scatter_to_bev_ring_diff.defvjp(_ring_diff_fwd, _ring_diff_bwd)
+
+
+def scatter_to_bev_train_auto(pillar_features, coords_or_pid, pillar_mask,
+                              config: PillarsConfig, is_pid: bool = True):
+    """Training-path BEV scatter dispatcher: the differentiable ring kernel
+    on TPU for compatible geometries (forward ~2x the XLA scatter; backward
+    is one row gather), the XLA scatter (whose transpose XLA derives)
+    elsewhere. Same ascending-pillar-id precondition as scatter_to_bev_auto
+    on the TPU path."""
+    from tpu_pillars.ops.voxelize import scatter_to_bev
+
+    C = pillar_features.shape[-1]
+    H, W = config.grid_h, config.grid_w
+    if is_pid:
+        pid = coords_or_pid
+    else:
+        pid = coords_or_pid[..., 0] * W + coords_or_pid[..., 1]
+    ok = jax.default_backend() == "tpu" and 128 % C == 0
+    if ok:
+        hwr = (H * W) // (128 // C)
+        ok = any(hwr % r == 0 for r in range(8, 1025, 8))
+    if ok:
+        return scatter_to_bev_ring_diff(pillar_features, pid, pillar_mask,
+                                        config)
+    coords = (jnp.stack([pid // W, pid % W], axis=-1)
+              * pillar_mask[..., None]) if is_pid else coords_or_pid
+    return scatter_to_bev(pillar_features, coords, pillar_mask, config)
+
+
 def scatter_to_bev_auto_pid(pillar_features, pid_per, pillar_mask,
                             config: PillarsConfig):
     """scatter_to_bev_auto for callers that carry flat pillar ids instead

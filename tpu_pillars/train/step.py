@@ -151,8 +151,8 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
         return total, (summary, mutated["batch_stats"])
 
     def loss_fn_fused(params, batch_stats, table, meta, batch: TrainBatch):
+        from tpu_pillars.ops.bev_pallas import scatter_to_bev_train_auto
         from tpu_pillars.ops.fused_pfn import pfn_train_from_table
-        from tpu_pillars.ops.voxelize import scatter_to_bev
 
         p = params["pfn"]
 
@@ -167,10 +167,12 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
             p["linear"]["kernel"], p["bn"]["scale"], p["bn"]["bias"])
         P = config.max_pillars
         feats, pid, cnt = feats[:, :P], pid[:, :P], cnt[:, :P]
-        coords = jnp.stack([pid // config.grid_w, pid % config.grid_w],
-                           axis=-1)
-        canvas = scatter_to_bev(feats.astype(compute_dtype), coords,
-                                cnt > 0.0, config)
+        # differentiable ring scatter on TPU (fwd ~2x the XLA scatter; bwd
+        # is one row gather), XLA scatter elsewhere. The ring kernel emits
+        # an f32 canvas even under bf16 compute (exact superset; the first
+        # conv casts to compute_dtype anyway).
+        canvas = scatter_to_bev_train_auto(
+            feats.astype(compute_dtype), pid, cnt > 0.0, config)
         feat, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, canvas,
             method=PointPillars.features_from_canvas,
