@@ -139,7 +139,14 @@ def main() -> None:
     sys.stderr.write(f"device-resident batch-8 loop: {rate:.2f} sweeps/s "
                      f"({per*1e3/8:.2f} ms/sweep on-chip)\n")
 
-    # per-stage amortized device times (no dispatch RTT in the number)
+    # per-stage amortized device times. CAVEAT (2026-08-18 honest-split
+    # probes): each single-stage loop still carries (a) ~1.5-5 ms/iter of
+    # host ENQUEUE cost — measure a null jit loop in-process to know it —
+    # and (b) the cost of MATERIALIZING outputs the full pipeline only
+    # consumes internally (returning anchor-major (A, k<=9) tensors once
+    # inflated "convs" to 22 ms whose true in-graph cost was ~5). Rank
+    # kernel work with scripts/probe_stage_split.py-style nested
+    # differencing + an end-to-end A/B, not with these rows alone.
     from functools import partial
 
     from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
