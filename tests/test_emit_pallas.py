@@ -102,3 +102,27 @@ def test_emit_multisweep_five_features(rng):
     ns = jnp.asarray([n], jnp.int32)
     _assert_equal(pillarize_batch_emit(pj, ns, cfg),
                   pillarize_batch(pj, ns, cfg))
+
+
+def test_emit_knob_variants_bit_equal(rng):
+    """The (k, whalf, wblk, gate_dead) tuning knobs must never change the
+    output: every variant is the same canonical spec. Includes an empty
+    sample and a padded tail (dead chunks) so the gate path is exercised."""
+    from tpu_pillars.ops.emit_pallas import (
+        emit_pillar_table, sort_points_by_pillar,
+    )
+
+    clouds = [_random_cloud(rng, n) for n in (3000, 0, 4096, 700)]
+    pts, ns = _pad_batch(clouds, CFG)
+    gid, ps = sort_points_by_pillar(pts, ns, CFG)
+    N, F = CFG.max_points_per_pillar, 4
+    P, HW = CFG.max_pillars, CFG.grid_h * CFG.grid_w
+    ref_t, ref_m = emit_pillar_table(gid, ps, N, F, P, HW)
+    for kn in (dict(gate_dead=False), dict(whalf=2048), dict(wblk=128),
+               dict(k=2048, whalf=2048), dict(wblk=512, gate_dead=False)):
+        t, m = emit_pillar_table(gid, ps, N, F, P, HW, **kn)
+        pmin = min(t.shape[1], ref_t.shape[1])
+        np.testing.assert_array_equal(np.asarray(t[:, :pmin]),
+                                      np.asarray(ref_t[:, :pmin]))
+        np.testing.assert_array_equal(np.asarray(m[:, :, :pmin]),
+                                      np.asarray(ref_m[:, :, :pmin]))

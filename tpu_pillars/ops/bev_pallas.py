@@ -320,7 +320,11 @@ def scatter_to_bev_auto(pillar_features, coords, pillar_mask,
 # copy. Projected net loss in every geometry; not built.
 # ---------------------------------------------------------------------------
 
-_RCHUNK = 256     # pillars per grid step
+_RCHUNK = 128     # pillars per grid step (2026-08-19 sweep, b8 standalone
+                  # chained loop: r128/w400 7.75 ms vs the old r256/w1000
+                  # 8.88; r128/w640 7.82, r64/w320 8.30, r256/w1600 9.02 —
+                  # per-round cost scales with rchunk x window rows, and
+                  # r128/w400 is the measured basin)
 
 
 def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
@@ -418,11 +422,13 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
 
     whalf/rchunk are tuning knobs (flush half-window rows / pillars per
     grid step). The defaults are the measured optimum at the full
-    operating point (2026-08-18 sweep, b8 standalone loop, 11k pillars:
-    w1000/r256 9.58 ms vs w400 10.24, w800 9.54 (tie), r512 11.03,
-    r1024 VMEM-OOM — the (rchunk, 2*whalf) one-hot/iota intermediates
-    blow the 16 MB scoped limit; earlier sweep: w2000 worse). whalf must
-    divide H*W/cpr and be a multiple of 8."""
+    operating point (2026-08-19 sweep, b8 standalone chained loop, 11k
+    pillars: r128/w400 7.75 ms, r128/w640 7.82, r64/w320 8.30, r256/w1000
+    8.88 (the old default), r256/w1600 9.02; the 2026-08-18 sweep also
+    measured r512 11.03 and r1024 VMEM-OOM — per-round cost scales with
+    rchunk x window rows). whalf=None picks the divisor of H*W/cpr
+    closest to the measured 400-row optimum; it must divide H*W/cpr and
+    be a multiple of 8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     H, W = config.grid_h, config.grid_w
@@ -431,10 +437,9 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
     cpr = 128 // C
     hwr = HW // cpr
     if whalf is None:
-        whalf = 0
-        for r in range(8, 1025, 8):
-            if hwr % r == 0:
-                whalf = r
+        cands = [r for r in range(8, 2049, 8) if hwr % r == 0]
+        whalf = (min(cands, key=lambda r: (abs(r - 400), -r))
+                 if cands else 0)
     assert whalf % 8 == 0 and hwr % max(whalf, 1) == 0, (whalf, hwr)
     # flush invariant: each add round covers exactly the open window
     # [win_base, win_base + 2*whalf) and halves flush only once every row

@@ -53,7 +53,12 @@ _WHALF = 1024     # rows per flush quantum; WROWS = 2 * _WHALF (>= _K + 1
 _WBLK = 256       # window-row block for the one-hot matmuls: the full
                   # (K, WROWS) one-hot would cost 8 MB of VMEM; blocked
                   # matmuls keep the live set small (multisweep lanes=256
-                  # ran out of scoped VMEM at block 512)
+                  # ran out of scoped VMEM at block 512). For lanes == 128
+                  # (single-sweep configs) block 512 FITS and measured
+                  # 10.98 vs 12.83 ms (b8 chained loop, 2026-08-19 sweep;
+                  # block 128: 17.25, block 1024 also tried) — the
+                  # per-block fixed cost outweighs the bigger one-hot, so
+                  # _wblk_for() picks 512 when lanes allow it
 _META = 8         # metadata ROWS (count, pillar_id, 6 spare): the meta
                   # window is (8, WROWS) — pillars ride the lane axis, so
                   # its matmul is a skinny (8, K) @ (K, WBLK) at ~1/64 the
@@ -68,6 +73,18 @@ _META = 8         # metadata ROWS (count, pillar_id, 6 spare): the meta
 # pillar table — keep this assert.
 assert _K <= _WHALF, "emit ring flush invariant requires _K <= _WHALF"
 assert _WHALF % _WBLK == 0 and _K % _WBLK == 0
+
+
+def _wblk_for(n_pts: int, n_f: int, k: int, whalf: int) -> int:
+    """Measured-best window block for a geometry: 512 when the payload lane
+    width is one tile (scoped-VMEM headroom exists; 10.98 vs 12.83 ms at
+    b8), the conservative 256 for wider payloads (multisweep lanes=256
+    exceeded scoped VMEM at 512)."""
+    lanes = max(128, ((n_pts * n_f + 127) // 128) * 128)
+    w = 512 if lanes <= 128 else 256
+    while whalf % w or k % w:
+        w //= 2
+    return max(w, 8)
 
 
 def _split3(x):
@@ -90,18 +107,27 @@ def _split3(x):
 
 def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
                  carry_ref, sem, *, n_pts: int, n_f: int, p_budget: int,
-                 p_pad: int, hw: int):
+                 p_pad: int, hw: int, k: int = _K, whalf: int = _WHALF,
+                 wblk: int = _WBLK, gate_dead: bool = True):
     """One grid step = one K-point sorted chunk of sample b.
 
     carry_ref (SMEM int32): [0] gid of the open (trailing) segment,
     [1] points seen so far in that segment, [2] its pillar ordinal + 1
     (== segments seen so far this sample), [3] window flush base row.
+
+    gate_dead skips the whole expensive middle (rank triangle, payload
+    expansion, window matmul loop, carry update) for ALL-SENTINEL chunks:
+    invalid points sort to the tail of each sample's stream, so once a
+    chunk is dead every later chunk of that sample is too, and the stale
+    carries are never read again (the drain only needs carry[3], which the
+    gated region does not touch). Point buffers are statically padded
+    (131072 for ~100k live points at the full operating point), so the
+    tail is ~20-25% of chunks on dense sweeps and far more on sparse ones.
     """
     b = pl.program_id(0)
     j = pl.program_id(1)
     last = pl.num_programs(1) - 1
-    k = _K
-    wrows = 2 * _WHALF
+    wrows = 2 * whalf
     lanes = max(128, ((n_pts * n_f + 127) // 128) * 128)
 
     @pl.when(j == 0)
@@ -127,149 +153,175 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
     prev = jnp.where(row_iota == 0, carry_gid, prev)
     first = valid & (g != prev)
 
-    # rank within segment: in-chunk equality triangle + cross-chunk carry.
-    # The (K, K) triangle is computed in (K, _WBLK) column blocks to bound
-    # live vregs; both reductions are exact f32 integer sums.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, _WBLK), 0)
-    excl = jnp.zeros((k, 1), jnp.float32)
-    cum_first = jnp.zeros((k, 1), jnp.float32)
-    first_f = first.astype(jnp.float32)
-    for cb in range(k // _WBLK):
-        col_ids = (jax.lax.broadcasted_iota(jnp.int32, (k, _WBLK), 1)
-                   + cb * _WBLK)
-        # row vector of this column block, broadcast along sublanes (a
-        # reshape-to-(1,K) would be a Mosaic transpose — unsupported layout)
-        g_blk = jax.lax.broadcast_in_dim(
-            gv[cb * _WBLK:(cb + 1) * _WBLK], (k, _WBLK), (1,))
-        eq_blk = g == g_blk
-        excl += jnp.sum((eq_blk & (row_ids > col_ids)).astype(jnp.float32),
-                        axis=1, keepdims=True)
-        # inclusive cumsum of `first` via a blocked triangular matmul:
-        # cum_first_i += sum_{j in block, j <= i} first_j
-        tri_blk = (col_ids <= row_ids).astype(jnp.float32)    # (K, WBLK)
-        cum_first += jax.lax.dot_general(
-            tri_blk, first_f[cb * _WBLK:(cb + 1) * _WBLK, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    cont = (g == carry_gid).astype(jnp.int32)
-    rank = excl.astype(jnp.int32) + cont * carry_run
+    def _chunk_body():
+        # rank within segment: in-chunk equality triangle + cross-chunk
+        # carry. The (K, K) triangle is computed in (K, wblk) column blocks
+        # to bound live vregs; both reductions are exact f32 integer sums.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, wblk), 0)
+        excl = jnp.zeros((k, 1), jnp.float32)
+        cum_first = jnp.zeros((k, 1), jnp.float32)
+        first_f = first.astype(jnp.float32)
+        for cb in range(k // wblk):
+            col_ids = (jax.lax.broadcasted_iota(jnp.int32, (k, wblk), 1)
+                       + cb * wblk)
+            # row vector of this column block, broadcast along sublanes (a
+            # reshape-to-(1,K) would be a Mosaic transpose — unsupported)
+            g_blk = jax.lax.broadcast_in_dim(
+                gv[cb * wblk:(cb + 1) * wblk], (k, wblk), (1,))
+            eq_blk = g == g_blk
+            excl_new = excl + jnp.sum(
+                (eq_blk & (row_ids > col_ids)).astype(jnp.float32),
+                axis=1, keepdims=True)
+            excl = excl_new
+            # inclusive cumsum of `first` via a blocked triangular matmul:
+            # cum_first_i += sum_{j in block, j <= i} first_j
+            tri_blk = (col_ids <= row_ids).astype(jnp.float32)  # (K, wblk)
+            cum_first = cum_first + jax.lax.dot_general(
+                tri_blk, first_f[cb * wblk:(cb + 1) * wblk, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        cont = (g == carry_gid).astype(jnp.int32)
+        rank = excl.astype(jnp.int32) + cont * carry_run
 
-    ordinal = carry_ord + cum_first.astype(jnp.int32) - 1
-    # continuing points (first=0, cum=0 prefix) resolve to carry_ord - 1 ==
-    # the open segment's ordinal; the -1 offset is exactly the spec's
-    # 0-based pillar ordinal.
+        ordinal = carry_ord + cum_first.astype(jnp.int32) - 1
+        # continuing points (first=0, cum=0 prefix) resolve to carry_ord - 1
+        # == the open segment's ordinal; the -1 offset is exactly the spec's
+        # 0-based pillar ordinal.
+
+        # ring slot is a FIXED function of the row (ordinal mod WROWS) so it
+        # stays consistent with the flush, which drains half
+        # [base//WHALF % 2]; the flush invariant (open rows span
+        # < WHALF + K <= WROWS) rules out slot collisions between unflushed
+        # rows
+        off = ordinal % wrows
+        keep = valid & (ordinal < p_budget)
+
+        # split the raw payload into exact bf16 parts FIRST, then
+        # lane-expand each part: the (K, lanes) f32 expansion and its split
+        # residuals never exist, which keeps multisweep configs (lanes=256)
+        # inside scoped VMEM. The expansion Y[p, l] = part[p, l % F] for
+        # l // F == rank_p is built as ONE tiny tile matmul (part @ T with
+        # T[f, l] = [l % F == f], each output cell exactly one product ->
+        # exact) plus ONE shared segment compare and one select per part —
+        # the old per-(part, f) select chain cost 12 (K, lanes) compare+
+        # select pairs per chunk where this costs 1 compare + 3 selects
+        # (selects run in f32 with the i32-compare mask: the v5e VPU has
+        # neither 16-bit iota nor 16-bit compares, and an i32 mask cannot
+        # relayout into a bf16 select).
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 1)
+        hit = (lane_iota // n_f) == rank                  # (K, lanes)
+        t_rows = jax.lax.broadcasted_iota(jnp.int32, (n_f, lanes), 0)
+        t_cols = jax.lax.broadcasted_iota(jnp.int32, (n_f, lanes), 1)
+        tile_t = (t_cols % n_f == t_rows).astype(jnp.bfloat16)
+        y_parts = []
+        for part in _split3(pts_ref[:]):
+            tiled = jax.lax.dot_general(
+                part, tile_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (K, lanes) exact
+            y_parts.append(jnp.where(hit, tiled, 0.0).astype(jnp.bfloat16))
+
+        # metadata payload, one column stack -> ONE skinny matmul per hit
+        # block: col 0 = kept indicator (count), cols 1-3 = pillar id (3-way
+        # bf16 split, emitted at the segment's first point), cols 4-12 =
+        # kept-masked x, y, z (3 parts each — their window sums are the
+        # pillar coordinate sums the fused decoration-free PFN consumes),
+        # cols 13-15 = zero pad.
+        kept_cnt = (rank < n_pts).astype(jnp.bfloat16)        # (K, 1) exact
+        kept_f = (rank < n_pts).astype(jnp.float32)
+        pid_first = first.astype(jnp.float32) * g.astype(jnp.float32)
+        meta_cols = [kept_cnt]
+        meta_cols += list(_split3(pid_first))
+        for fcol in range(3):
+            meta_cols += list(_split3(pts_ref[:, fcol:fcol + 1] * kept_f))
+        meta_payload = jnp.concatenate(
+            meta_cols + [jnp.zeros((k, 3), jnp.bfloat16)], axis=1)  # (K, 16)
+
+        # one-hot expand into the ring window, blocked over window rows:
+        # each block builds its (K, WBLK) slice of the one-hot and feeds the
+        # feature expansion plus two skinny column-contracted metadata
+        # products (both contract over K on dim 0 — no transposes, which
+        # Mosaic lacks). A chunk's kept rows span at most K+1 consecutive
+        # window rows, so most chunks touch ~2 of the 4 blocks — blocks
+        # with no hits skip their matmuls and window read-modify-writes
+        # entirely.
+        blk_iota = jax.lax.broadcasted_iota(jnp.int32, (k, wblk), 1)
+        contract0 = (((0,), (0,)), ((), ()))
+        for wb in range(wrows // wblk):
+            in_blk = keep & (off >= wb * wblk) & (off < (wb + 1) * wblk)
+            any_hit = jnp.any(in_blk)
+
+            @pl.when(any_hit)
+            def _(wb=wb, in_blk=in_blk):
+                a_blk = ((off == blk_iota + wb * wblk)
+                         & in_blk).astype(jnp.bfloat16)
+                t = sum(jax.lax.dot_general(
+                            a_blk, part, contract0,
+                            preferred_element_type=jnp.float32)
+                        for part in y_parts)
+                win_ref[wb * wblk:(wb + 1) * wblk, :] = (
+                    win_ref[wb * wblk:(wb + 1) * wblk, :] + t)
+                res = jax.lax.dot_general(meta_payload, a_blk, contract0,
+                                          preferred_element_type=jnp.float32)
+                sl = slice(wb * wblk, (wb + 1) * wblk)
+                mwin_ref[0:1, sl] = mwin_ref[0:1, sl] + res[0:1]
+                mwin_ref[1:2, sl] = (mwin_ref[1:2, sl]
+                                     + res[1:2] + res[2:3] + res[3:4])
+                mwin_ref[2:3, sl] = (mwin_ref[2:3, sl]
+                                     + res[4:5] + res[5:6] + res[6:7])
+                mwin_ref[3:4, sl] = (mwin_ref[3:4, sl]
+                                     + res[7:8] + res[8:9] + res[9:10])
+                mwin_ref[4:5, sl] = (mwin_ref[4:5, sl]
+                                     + res[10:11] + res[11:12] + res[12:13])
+
+        # update carries from the chunk tail
+        new_ord = carry_ord + cum_first[k - 1, 0].astype(jnp.int32)
+        carry_ref[0] = g[k - 1, 0]
+        carry_ref[1] = rank[k - 1, 0] + 1
+        carry_ref[2] = new_ord
+
+    if gate_dead:
+        # all-sentinel chunks (the sorted stream's padded tail) skip the
+        # whole middle; their carries go stale but are never read again
+        # (every later chunk of the sample is dead too, and the drain only
+        # needs carry[3], untouched here)
+        pl.when(jnp.any(valid))(_chunk_body)
+    else:
+        _chunk_body()
 
     win_base = carry_ref[3]
-    # ring slot is a FIXED function of the row (ordinal mod WROWS) so it
-    # stays consistent with the flush, which drains half [base//WHALF % 2];
-    # the flush invariant (open rows span < WHALF + K <= WROWS) rules out
-    # slot collisions between unflushed rows
-    off = ordinal % wrows
-    keep = valid & (ordinal < p_budget)
-
-    # split the raw payload into exact bf16 parts FIRST, then lane-expand
-    # each part: the (K, lanes) f32 expansion and its split residuals never
-    # exist, which keeps multisweep configs (lanes=256) inside scoped VMEM.
-    # Selects run in f32 with the i32-compare mask (the v5e VPU has neither
-    # 16-bit iota nor 16-bit compares, and an i32 mask cannot relayout into
-    # a bf16 select) — but only ONE part's f32 expansion is live at a time
-    # before casting down to bf16, which is what keeps multisweep configs
-    # (lanes=256) inside scoped VMEM.
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 1)
-    target = rank * n_f
-    y_parts = []
-    for part in _split3(pts_ref[:]):
-        yp = jnp.zeros((k, lanes), jnp.float32)
-        for f in range(n_f):
-            yp = yp + jnp.where(lane_iota == target + f,
-                                part[:, f:f + 1].astype(jnp.float32), 0.0)
-        y_parts.append(yp.astype(jnp.bfloat16))
-
-    # metadata payload, one column stack -> ONE skinny matmul per hit block:
-    # col 0 = kept indicator (count), cols 1-3 = pillar id (3-way bf16
-    # split, emitted at the segment's first point), cols 4-12 = kept-masked
-    # x, y, z (3 parts each — their window sums are the pillar coordinate
-    # sums the fused decoration-free PFN consumes), cols 13-15 = zero pad.
-    kept_cnt = (rank < n_pts).astype(jnp.bfloat16)            # (K, 1) exact
-    kept_f = (rank < n_pts).astype(jnp.float32)
-    pid_first = first.astype(jnp.float32) * g.astype(jnp.float32)
-    meta_cols = [kept_cnt]
-    meta_cols += list(_split3(pid_first))
-    for fcol in range(3):
-        meta_cols += list(_split3(pts_ref[:, fcol:fcol + 1] * kept_f))
-    meta_payload = jnp.concatenate(
-        meta_cols + [jnp.zeros((k, 3), jnp.bfloat16)], axis=1)  # (K, 16)
-
-    # one-hot expand into the ring window, blocked over window rows: each
-    # block builds its (K, WBLK) slice of the one-hot and feeds the feature
-    # expansion plus two skinny column-contracted metadata products (both
-    # contract over K on dim 0 — no transposes, which Mosaic lacks). A
-    # chunk's kept rows span at most K+1 consecutive window rows, so most
-    # chunks touch ~2 of the 4 blocks — blocks with no hits skip their
-    # matmuls and window read-modify-writes entirely.
-    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (k, _WBLK), 1)
-    contract0 = (((0,), (0,)), ((), ()))
-    for wb in range(wrows // _WBLK):
-        in_blk = keep & (off >= wb * _WBLK) & (off < (wb + 1) * _WBLK)
-        any_hit = jnp.any(in_blk)
-
-        @pl.when(any_hit)
-        def _(wb=wb, in_blk=in_blk):
-            a_blk = ((off == blk_iota + wb * _WBLK)
-                     & in_blk).astype(jnp.bfloat16)
-            t = sum(jax.lax.dot_general(a_blk, part, contract0,
-                                        preferred_element_type=jnp.float32)
-                    for part in y_parts)
-            win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] = (
-                win_ref[wb * _WBLK:(wb + 1) * _WBLK, :] + t)
-            res = jax.lax.dot_general(meta_payload, a_blk, contract0,
-                                      preferred_element_type=jnp.float32)
-            sl = slice(wb * _WBLK, (wb + 1) * _WBLK)
-            mwin_ref[0:1, sl] = mwin_ref[0:1, sl] + res[0:1]
-            mwin_ref[1:2, sl] = (mwin_ref[1:2, sl]
-                                 + res[1:2] + res[2:3] + res[3:4])
-            mwin_ref[2:3, sl] = (mwin_ref[2:3, sl]
-                                 + res[4:5] + res[5:6] + res[6:7])
-            mwin_ref[3:4, sl] = (mwin_ref[3:4, sl]
-                                 + res[7:8] + res[8:9] + res[9:10])
-            mwin_ref[4:5, sl] = (mwin_ref[4:5, sl]
-                                 + res[10:11] + res[11:12] + res[12:13])
-
-    # update carries from the chunk tail
-    new_ord = carry_ord + cum_first[k - 1, 0].astype(jnp.int32)
-    carry_ref[0] = g[k - 1, 0]
-    carry_ref[1] = rank[k - 1, 0] + 1
-    carry_ref[2] = new_ord
+    # rows < open are closed; re-read the ordinal carry AFTER the (possibly
+    # predicated) chunk body so dead chunks see the last live value
+    open_row_carry = carry_ref[2]
 
     def flush(base):
-        base = pl.multiple_of(base, _WHALF)
-        half = (base // _WHALF) % 2
-        hoff = pl.multiple_of(half * _WHALF, _WHALF)
-        src = win_ref.at[pl.ds(hoff, _WHALF), :]
-        msrc = mwin_ref.at[:, pl.ds(hoff, _WHALF)]
+        base = pl.multiple_of(base, whalf)
+        half = (base // whalf) % 2
+        hoff = pl.multiple_of(half * whalf, whalf)
+        src = win_ref.at[pl.ds(hoff, whalf), :]
+        msrc = mwin_ref.at[:, pl.ds(hoff, whalf)]
         cp1 = pltpu.make_async_copy(
-            src, table_ref.at[pl.ds(b * p_pad + base, _WHALF), :], sem.at[0])
+            src, table_ref.at[pl.ds(b * p_pad + base, whalf), :], sem.at[0])
         cp2 = pltpu.make_async_copy(
-            msrc, meta_ref.at[pl.ds(b * _META, _META), pl.ds(base, _WHALF)],
+            msrc, meta_ref.at[pl.ds(b * _META, _META), pl.ds(base, whalf)],
             sem.at[1])
         cp1.start()
         cp2.start()
         cp1.wait()
         cp2.wait()
-        win_ref[pl.ds(half * _WHALF, _WHALF), :] = jnp.zeros(
-            (_WHALF, lanes), jnp.float32)
-        mwin_ref[:, pl.ds(half * _WHALF, _WHALF)] = jnp.zeros(
-            (_META, _WHALF), jnp.float32)
-        return base + _WHALF
+        win_ref[pl.ds(half * whalf, whalf), :] = jnp.zeros(
+            (whalf, lanes), jnp.float32)
+        mwin_ref[:, pl.ds(half * whalf, whalf)] = jnp.zeros(
+            (_META, whalf), jnp.float32)
+        return base + whalf
 
-    # rows < open are closed; the open row (ordinal new_ord - 1) may still
-    # grow next chunk, so it never flushes before the drain
-    open_row = jnp.minimum(new_ord - 1, p_budget)
+    # the open row (ordinal carry - 1) may still grow next chunk, so it
+    # never flushes before the drain
+    open_row = jnp.minimum(open_row_carry - 1, p_budget)
 
     @pl.when(j < last)
     def _():
         carry_ref[3] = jax.lax.while_loop(
-            lambda base: open_row - base >= _WHALF, flush, win_base)
+            lambda base: open_row - base >= whalf, flush, win_base)
 
     @pl.when(j == last)
     def _():
@@ -278,7 +330,9 @@ def _emit_kernel(gid_ref, pts_ref, table_ref, meta_ref, win_ref, mwin_ref,
 
 
 def emit_table_flat(gid_sorted, pts_sorted, n_pts: int, n_f: int,
-                    p_budget: int, hw: int, interpret: bool | None = None):
+                    p_budget: int, hw: int, interpret: bool | None = None,
+                    k: int = _K, whalf: int = _WHALF, wblk: int | None = None,
+                    gate_dead: bool = True):
     """Raw kernel outputs, un-reshaped:
       table (B*P_pad, lanes) f32 — row r = pillar r's points at lanes
         rank*n_f + f (lanes = n_pts*n_f padded to a 128 multiple);
@@ -286,31 +340,42 @@ def emit_table_flat(gid_sorted, pts_sorted, n_pts: int, n_f: int,
         1 pillar id, 2-4 kept-point x/y/z sums, 5-7 spare.
     The fused decoration-free PFN (ops/fused_pfn.py) consumes these
     directly; emit_pillar_table reshapes them into the padded table view.
+
+    k/whalf/wblk are static tuning knobs (points per grid step / flush
+    half-window rows / window-block columns for the one-hot matmuls); the
+    defaults are the measured optimum — sweep numbers in the probe script
+    and docs/PERF.md.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if wblk is None:
+        wblk = _wblk_for(n_pts, n_f, k, whalf)
+    assert k % 1024 == 0, "1-D gid blocks must be 1024-multiples (Mosaic)"
+    assert k <= whalf, "emit ring flush invariant requires k <= whalf"
+    assert whalf % wblk == 0 and k % wblk == 0
     b, m = gid_sorted.shape
-    m_pad = ((m + _K - 1) // _K) * _K
+    m_pad = ((m + k - 1) // k) * k
     if m_pad != m:
         pad = jnp.full((b, m_pad - m), hw, jnp.int32)
         gid_sorted = jnp.concatenate([gid_sorted, pad], axis=1)
         pts_sorted = jnp.concatenate(
             [pts_sorted, jnp.zeros((b, m_pad - m, n_f), pts_sorted.dtype)],
             axis=1)
-    p_pad = ((p_budget + _WHALF - 1) // _WHALF) * _WHALF
-    n_chunks = m_pad // _K
+    p_pad = ((p_budget + whalf - 1) // whalf) * whalf
+    n_chunks = m_pad // k
     # lane dim padded to a full 128 tile so ring-window DMA slices stay
     # aligned (tiny configs have n_pts * n_f < 128)
     lanes = max(128, ((n_pts * n_f + 127) // 128) * 128)
 
     table, meta = pl.pallas_call(
         functools.partial(_emit_kernel, n_pts=n_pts, n_f=n_f,
-                          p_budget=p_budget, p_pad=p_pad, hw=hw),
+                          p_budget=p_budget, p_pad=p_pad, hw=hw,
+                          k=k, whalf=whalf, wblk=wblk, gate_dead=gate_dead),
         grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((_K,), lambda i, j: (i * n_chunks + j,),
+            pl.BlockSpec((k,), lambda i, j: (i * n_chunks + j,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, n_f), lambda i, j: (i * n_chunks + j, 0),
+            pl.BlockSpec((k, n_f), lambda i, j: (i * n_chunks + j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -322,8 +387,8 @@ def emit_table_flat(gid_sorted, pts_sorted, n_pts: int, n_f: int,
             jax.ShapeDtypeStruct((b * _META, p_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * _WHALF, lanes), jnp.float32),
-            pltpu.VMEM((_META, 2 * _WHALF), jnp.float32),
+            pltpu.VMEM((2 * whalf, lanes), jnp.float32),
+            pltpu.VMEM((_META, 2 * whalf), jnp.float32),
             pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -334,18 +399,23 @@ def emit_table_flat(gid_sorted, pts_sorted, n_pts: int, n_f: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_pts", "n_f", "p_budget", "hw", "interpret"))
+    jax.jit, static_argnames=("n_pts", "n_f", "p_budget", "hw", "interpret",
+                              "k", "whalf", "wblk", "gate_dead"))
 def emit_pillar_table(gid_sorted, pts_sorted, n_pts: int, n_f: int,
-                      p_budget: int, hw: int, interpret: bool | None = None):
+                      p_budget: int, hw: int, interpret: bool | None = None,
+                      k: int = _K, whalf: int = _WHALF,
+                      wblk: int | None = None, gate_dead: bool = True):
     """gid_sorted (B, M) int32 ascending per sample (hw == invalid sentinel),
     pts_sorted (B, M, F) the matching payload ->
-      table (B, P_pad, n_pts, n_f) f32  (P_pad = P rounded up to _WHALF)
+      table (B, P_pad, n_pts, n_f) f32  (P_pad = P rounded up to whalf)
       meta  (B, 8, P_pad) f32: row 0 = kept-point count, row 1 = pillar id,
       rows 2-4 = kept-point x/y/z sums.
     """
     b = gid_sorted.shape[0]
     table, meta = emit_table_flat(gid_sorted, pts_sorted, n_pts, n_f,
-                                  p_budget, hw, interpret=interpret)
+                                  p_budget, hw, interpret=interpret,
+                                  k=k, whalf=whalf, wblk=wblk,
+                                  gate_dead=gate_dead)
     p_pad = meta.shape[1]
     table = table[:, : n_pts * n_f]
     return (table.reshape(b, p_pad, n_pts, n_f),

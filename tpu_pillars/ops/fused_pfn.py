@@ -348,7 +348,7 @@ def pfn_train_from_table(table_flat, meta, w, bn_scale, bn_bias,
 
 
 def emit_centered_table(points, num_points, config: PillarsConfig,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, **emit_knobs):
     """Shared fused-front-end head: sort by pillar id, CELL-CENTER the
     payload, run the emit kernel. Returns (table (B*P_pad, lanes) f32,
     meta (B*8, P_pad) f32) — the inputs of pfn_from_table[/_xla] and
@@ -383,7 +383,8 @@ def emit_centered_table(points, num_points, config: PillarsConfig,
         (pts_s[..., 1] - cy)[..., None],
         pts_s[..., 2:],
     ], axis=-1)
-    return emit_table_flat(gid_s, pts_s, N, F, P, HW, interpret=interpret)
+    return emit_table_flat(gid_s, pts_s, N, F, P, HW, interpret=interpret,
+                           **emit_knobs)
 
 
 def pillarize_pfn_fused(points, num_points, w, b, config: PillarsConfig,
