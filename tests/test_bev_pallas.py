@@ -98,6 +98,50 @@ def test_bev_ring_dense_and_sparse_extremes(rng):
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
 
 
+def test_bev_ring_knob_variants_bit_equal(rng):
+    """(whalf, rchunk) must never change the canvas. The pid pattern mixes
+    dense clusters (canvas rows shared across chunk boundaries via cpr
+    packing), long gaps (steady-state overwrite rounds with no hits), and
+    a padded tail — the shapes the half-overwrite rounds must get right."""
+    from tpu_pillars.ops.bev_pallas import scatter_to_bev_ring
+
+    B, C = 2, 32
+    hw = CFG.grid_h * CFG.grid_w
+    cpr = 128 // C
+    hwr = hw // cpr
+    # clusters at the start, around the ring midpoint, and at the end;
+    # strictly ascending ids within each sample
+    ids = np.concatenate([
+        np.arange(0, 40),                      # dense head (shared rows)
+        np.arange(hw // 2 - 20, hw // 2 + 20),  # mid cluster after a gap
+        np.arange(hw - 40, hw),                # tail cluster
+    ])
+    P = 160
+    pid = np.full((B, P), hw, np.int64)
+    pid[0, :len(ids)] = ids
+    pid[1, :30] = ids[:30] * 2 + 1             # odd ids, different rows
+    mask = pid < hw
+    feats = rng.normal(size=(B, P, C)).astype(np.float32)
+    pid_j = jnp.asarray(pid.astype(np.int32))
+    mask_j = jnp.asarray(mask)
+    feats_j = jnp.asarray(feats)
+
+    ref = np.asarray(scatter_to_bev_ring(feats_j, pid_j, mask_j, CFG))
+    for kn in (dict(whalf=8, rchunk=8), dict(whalf=40, rchunk=16),
+               dict(whalf=hwr // 2, rchunk=64),
+               dict(whalf=8, rchunk=8, steady_overwrite=True),
+               dict(whalf=40, rchunk=16, steady_overwrite=True)):
+        if hwr % kn["whalf"]:
+            continue
+        got = np.asarray(scatter_to_bev_ring(feats_j, pid_j, mask_j, CFG,
+                                             **kn))
+        np.testing.assert_array_equal(got, ref, err_msg=str(kn))
+    coords = jnp.stack([pid_j // CFG.grid_w, pid_j % CFG.grid_w], -1) \
+        * mask_j[..., None]
+    want = np.asarray(scatter_to_bev(feats_j, coords, mask_j, CFG))
+    np.testing.assert_array_equal(ref, want)
+
+
 def test_ring_diff_grads_match_xla_scatter(rng):
     """scatter_to_bev_ring_diff: forward bit-equal to the XLA scatter and
     custom-VJP cotangents equal to XLA's scatter transpose (the train

@@ -329,7 +329,7 @@ _RCHUNK = 128     # pillars per grid step (2026-08-19 sweep, b8 standalone
 
 def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
                      c: int, cpr: int, whalf: int, hwr: int, n_chunks: int,
-                     rchunk: int = _RCHUNK):
+                     rchunk: int = _RCHUNK, steady_overwrite: bool = False):
     b = pl.program_id(0)
     j = pl.program_id(1)
     wrows = 2 * whalf
@@ -360,21 +360,8 @@ def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
         pieces.append(jnp.concatenate(row_parts, axis=1))    # (K, cpr*C)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (k, wrows), 1)
+    half_iota = jax.lax.broadcasted_iota(jnp.int32, (k, whalf), 1)
     contract0 = (((0,), (0,)), ((), ()))
-
-    def add_rows(lo_bound, hi_bound):
-        """Accumulate pillars with row in [lo_bound, hi_bound). (An
-        any-hit predication like the emit kernel's was tried here and
-        measured slightly WORSE — 11.3 vs 9.9 ms — because real rounds
-        almost always have hits; the branch just adds overhead.)"""
-        sel = valid & (row >= lo_bound) & (row < hi_bound)
-        slot = row % wrows
-        one_hot = ((slot == row_iota) & sel).astype(jnp.bfloat16)
-        acc = win_ref[:]
-        for y in pieces:
-            acc = acc + jax.lax.dot_general(
-                one_hot, y, contract0, preferred_element_type=jnp.float32)
-        win_ref[:] = acc
 
     def flush(base):
         base = pl.multiple_of(base, whalf)
@@ -389,14 +376,68 @@ def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
             (whalf, cpr * c), jnp.float32)
         return base + whalf
 
+    # Per-chunk round: read-accumulate this chunk's pillars with
+    # row < hi_bound into the full open window — those rows may already
+    # hold earlier chunks' contributions, so this round must read-add.
+    # UNGATED: an any-hit pl.when here (and on the steady rounds below)
+    # measured WORSE — 8.99 vs 8.19 ms b8 r128/w400 — branches break the
+    # VLIW schedule and real rounds almost always have hits.
     win_base = carry_ref[0]
-    add_rows(jnp.int32(0), win_base + wrows)
+    sel0 = valid & (row < win_base + wrows)
+    one_hot0 = ((row % wrows == row_iota) & sel0).astype(jnp.bfloat16)
+    acc0 = win_ref[:]
+    for y in pieces:
+        acc0 = acc0 + jax.lax.dot_general(
+            one_hot0, y, contract0, preferred_element_type=jnp.float32)
+    win_ref[:] = acc0
 
-    def body(state):
+    def body_overwrite(state):
+        """Steady-state round: drain half (wb//whalf)%2 (rows
+        [wb, wb+whalf) are closed), then OVERWRITE it with the pillars of
+        rows [ab, ab+whalf) — a virgin range (every add so far covered
+        rows < ab) that maps exactly onto the drained half's slots. The
+        overwrite needs no window read, no zero-store, and a half-window
+        one-hot/matmul; empty ranges (pillar-id gaps) write zeros through
+        the same unconditional matmul. MEASURED: an exact tie with the
+        read-add formulation (same-process A/B/A 2026-08-19, b8 r128/w400:
+        ra 8.36/7.94 vs ow 7.65/8.64 ms — means 8.15 both, noise ±0.9;
+        w200 worse for both). Kept non-default; the matmul savings are
+        real but the kernel is bound elsewhere (per-round fixed costs)."""
+        wb, ab = state
+        base = pl.multiple_of(wb, whalf)
+        hoff = pl.multiple_of((base // whalf) % 2 * whalf, whalf)
+        cp = pltpu.make_async_copy(
+            win_ref.at[pl.ds(hoff, whalf), :],
+            out_ref.at[pl.ds(b * hwr + base, whalf), :],
+            sem)
+        cp.start()
+        sel = valid & (row >= ab) & (row < ab + whalf)
+        one_hot = ((row % whalf == half_iota) & sel).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            one_hot, pieces[0], contract0,
+            preferred_element_type=jnp.float32)
+        for y in pieces[1:]:
+            acc = acc + jax.lax.dot_general(
+                one_hot, y, contract0, preferred_element_type=jnp.float32)
+        cp.wait()
+        win_ref[pl.ds(hoff, whalf), :] = acc
+        return wb + whalf, ab + whalf
+
+    def body_readadd(state):
+        """Steady-state round, original formulation: zeroing flush, then a
+        full-window read-add of the newly exposed rows [ab, wb+wrows)."""
         wb, ab = state
         wb = flush(wb)
-        add_rows(ab, wb + wrows)
+        sel = valid & (row >= ab) & (row < wb + wrows)
+        one_hot = ((row % wrows == row_iota) & sel).astype(jnp.bfloat16)
+        acc = win_ref[:]
+        for y in pieces:
+            acc = acc + jax.lax.dot_general(
+                one_hot, y, contract0, preferred_element_type=jnp.float32)
+        win_ref[:] = acc
         return wb, wb + wrows
+
+    body = body_overwrite if steady_overwrite else body_readadd
 
     win_base, _ = jax.lax.while_loop(
         lambda s: max_row >= s[0] + wrows, body,
@@ -413,11 +454,12 @@ def _bev_ring_kernel(feats_ref, pid_ref, out_ref, win_ref, carry_ref, sem, *,
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret", "whalf",
-                                             "rchunk"))
+                                             "rchunk", "steady_overwrite"))
 def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
                         config: PillarsConfig, interpret: bool | None = None,
                         whalf: int | None = None,
-                        rchunk: int = _RCHUNK):
+                        rchunk: int = _RCHUNK,
+                        steady_overwrite: bool = False):
     """Streaming ring variant of scatter_to_bev_emit — same contract.
 
     whalf/rchunk are tuning knobs (flush half-window rows / pillars per
@@ -464,7 +506,8 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
 
     out = pl.pallas_call(
         functools.partial(_bev_ring_kernel, c=C, cpr=cpr, whalf=whalf,
-                          hwr=hwr, n_chunks=n_chunks, rchunk=rchunk),
+                          hwr=hwr, n_chunks=n_chunks, rchunk=rchunk,
+                          steady_overwrite=steady_overwrite),
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((rchunk, C), lambda b, j: (b * n_chunks + j, 0),
