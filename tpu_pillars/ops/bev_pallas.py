@@ -468,7 +468,9 @@ def scatter_to_bev_ring(pillar_features, pid_per, pillar_mask,
     pillars: r128/w400 7.75 ms, r128/w640 7.82, r64/w320 8.30, r256/w1000
     8.88 (the old default), r256/w1600 9.02; the 2026-08-18 sweep also
     measured r512 11.03 and r1024 VMEM-OOM — per-round cost scales with
-    rchunk x window rows). whalf=None picks the divisor of H*W/cpr
+    rchunk x window rows; paired alternating repeats 2026-08-19: w400 vs
+    w800 is an exact tie, median delta -0.03 ms over 5 pairs, so the
+    400-row basin stands). whalf=None picks the divisor of H*W/cpr
     closest to the measured 400-row optimum; it must divide H*W/cpr and
     be a multiple of 8."""
     if interpret is None:

@@ -58,7 +58,12 @@ _WBLK = 256       # window-row block for the one-hot matmuls: the full
                   # 10.98 vs 12.83 ms (b8 chained loop, 2026-08-19 sweep;
                   # block 128: 17.25, block 1024 also tried) — the
                   # per-block fixed cost outweighs the bigger one-hot, so
-                  # _wblk_for() picks 512 when lanes allow it
+                  # _wblk_for() picks 512 when lanes allow it. CONFIRMED by
+                  # paired alternating repeats (probe_knob_repeats.py,
+                  # 2026-08-19): 512 won all 5 pairs, median -2.04 ms; a
+                  # single drifted sweep process had read the reverse.
+                  # k=2048/4096 variants fail to compile (tpu_compile_helper
+                  # crash) — k is pinned at 1024
 _META = 8         # metadata ROWS (count, pillar_id, 6 spare): the meta
                   # window is (8, WROWS) — pillars ride the lane axis, so
                   # its matmul is a skinny (8, K) @ (K, WBLK) at ~1/64 the
