@@ -50,7 +50,7 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
         eval_fn: Optional[Callable] = None,
         eval_every: int = 1000,
         stop: Optional[Callable[[], bool]] = None,
-        heartbeat=None, guard=None) -> TrainState:
+        heartbeat=None, guard=None, ema=None) -> TrainState:
     """Run `steps` optimizer steps. step_fn defaults to the jitted
     single-device train step for `config`.
 
@@ -64,7 +64,13 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
     --resume restart. `heartbeat` gets .beat(step) every step (host-side
     counter: no device sync added). `guard` (NaNGuard) gets
     .observe(state, loss) at the logging cadence, where the loss is on
-    host anyway."""
+    host anyway.
+
+    ema (train/ema.py EmaTracker): updated after every step; eval runs on
+    BOTH the raw and EMA weights (the EMA metrics get an '_ema' suffix),
+    and every checkpoint write also exports `ckpt_path + '.ema'` — an
+    inference-only artifact of the EMA weights (loads through
+    Detector.from_checkpoint; resume correctly refuses it)."""
     if step_fn is None:
         step_fn = jax.jit(make_train_step(config))
     logger = logger or JsonlLogger(echo=False)
@@ -74,9 +80,22 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
     def run_eval():
         if eval_fn is None:
             return
-        metrics = eval_fn(state) or {}
+        metrics = dict(eval_fn(state) or {})
+        if ema is not None:
+            for k, v in (eval_fn(ema.swap_into(state)) or {}).items():
+                metrics[f"{k}_ema"] = v
         logger.log("eval", step=int(state.step),
                    **{k: float(v) for k, v in metrics.items()})
+
+    def save_all(path):
+        save_checkpoint(path, state, config=config)
+        if ema is not None:
+            from tpu_pillars.train.checkpoint import (
+                export_inference_checkpoint,
+            )
+
+            export_inference_checkpoint(path + ".ema", ema.swap_into(state),
+                                        config=config)
 
     i = -1
     for i, batch in enumerate(batches):
@@ -86,6 +105,8 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
             logger.log("preempted", step=step0 + i)
             break
         state, losses = step_fn(state, batch)
+        if ema is not None:
+            ema.update(state.params)
         if heartbeat is not None:
             heartbeat.beat(step0 + i + 1)
         if (i + 1) % log_every == 0 or i + 1 == steps:
@@ -100,12 +121,12 @@ def fit(state: TrainState, batches: Iterable[TrainBatch], steps: int,
             if guard is not None:
                 guard.observe(state, loss_val)
         if ckpt_path and (i + 1) % ckpt_every == 0:
-            save_checkpoint(ckpt_path, state, config=config)
+            save_all(ckpt_path)
             logger.log("checkpoint", step=int(state.step), path=ckpt_path)
         if eval_fn is not None and (i + 1) % eval_every == 0 and i + 1 < steps:
             run_eval()
     if ckpt_path:
-        save_checkpoint(ckpt_path, state, config=config)
+        save_all(ckpt_path)
     if i >= 0:
         run_eval()
     return state
@@ -182,6 +203,10 @@ def main() -> None:
                         "grads averaged, ONE optimizer update (per-"
                         "microbatch BN moments; composes with remat to "
                         "push effective batch past the HBM ceiling)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="parameter-EMA decay (e.g. 0.999); 0 disables. "
+                        "Evals run on raw AND EMA weights; checkpoints "
+                        "also export <ckpt>.ema inference weights")
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision training: bf16 activations, "
                         "f32 params/optimizer/BN stats/losses")
@@ -346,12 +371,15 @@ def main() -> None:
             step_fn = make_shardmap_train_step(config, mesh, **step_kw)
         else:
             step_fn = jax.jit(make_train_step(config, **step_kw))
+        from tpu_pillars.train.ema import maybe_tracker
+
         fit(state, batches, steps=max(0, args.steps - start), config=config,
             step_fn=step_fn, logger=logger, ckpt_path=ckpt_path,
             eval_fn=eval_fn, eval_every=args.eval_every or 1000,
             stop=shutdown,
             heartbeat=Heartbeat(f"{args.out}/heartbeat.json"),
-            guard=NaNGuard(f"{args.out}/diverged.msgpack", config=config))
+            guard=NaNGuard(f"{args.out}/diverged.msgpack", config=config),
+            ema=maybe_tracker(state.params, args.ema))
 
 
 if __name__ == "__main__":
