@@ -57,7 +57,16 @@ def main() -> None:
         f"backend={jax.default_backend()} points/sweep="
         f"{[len(s.points) for s in scenes[:3]]}...\n")
 
-    det = Detector(cfg, variables)
+    # bucketed upload shapes (16384-spaced static grid): each sweep pads to
+    # the smallest fitting bucket instead of the full 131072-row buffer —
+    # bit-equal boxes by test (test_detector_e2e.py), ~12.5% fewer wire
+    # bytes at this scene density. Measured +2-5% on the transfer-bound
+    # host-to-host loops (probe_wire_buckets.py A/B/A: batch-8 26.6 vs
+    # 26.1/24.5 full-buffer; stream 26.9 vs 26.4) — the dispatch pipeline
+    # already overlaps most of the upload.
+    det = Detector(cfg, variables,
+                   wire_buckets=tuple(range(16384, cfg.max_points + 1,
+                                            16384)))
     padded = [det.pad_points(s.points) for s in scenes]
 
     # --- e2e serving loop: host points in -> host boxes out, every frame.

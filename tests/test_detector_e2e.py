@@ -82,6 +82,33 @@ def test_host_crop_and_buckets_bit_equal(rng):
         Detector(cfg, variables, wire_buckets=(1024, 2048))
 
 
+def test_batch_buckets_bit_equal(rng):
+    # the batched serving path with bucketed upload shapes: stacking
+    # same-bucket pads and running predict_packed_batch at the bucket's
+    # (B, m, F) shape must reproduce the full-buffer batch bit for bit
+    # (bench.py serves batches this way when buckets are enabled)
+    cfg = CFG
+    variables = _init_variables(cfg)
+    det_plain = Detector(cfg, variables)
+    det_buck = Detector(cfg, variables,
+                        wire_buckets=(1024, cfg.max_points))
+
+    scenes = [make_scene(rng, cfg, num_objects=3, clutter=500 + 40 * i)
+              for i in range(3)]
+    pads_b = [det_buck.pad_points(s.points) for s in scenes]
+    assert all(p.shape[0] == 1024 for p, _ in pads_b)
+    pads_f = [det_plain.pad_points(s.points) for s in scenes]
+    assert all(p.shape[0] == cfg.max_points for p, _ in pads_f)
+
+    got = np.asarray(det_buck.predict_packed_batch(
+        np.stack([p for p, _ in pads_b]),
+        np.asarray([n for _, n in pads_b])))
+    want = np.asarray(det_plain.predict_packed_batch(
+        np.stack([p for p, _ in pads_f]),
+        np.asarray([n for _, n in pads_f])))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int16_wire_near_exact(rng):
     # int16 fixed-point wire: ~1 mm coordinate quantization at the tiny
     # config's 20 m range — detections must match the f32 wire to tight
