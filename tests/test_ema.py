@@ -10,23 +10,47 @@ from tpu_pillars.config import tiny_config
 from tpu_pillars.train.ema import EmaTracker, maybe_tracker
 
 
-def test_ema_matches_closed_form():
-    rng = np.random.default_rng(0)
-    tree = {"a": jnp.asarray(rng.standard_normal((3, 4)), jnp.float32),
+def _tree(rng):
+    return {"a": jnp.asarray(rng.standard_normal((3, 4)), jnp.float32),
             "b": {"c": jnp.asarray(rng.standard_normal((5,)), jnp.float32)}}
+
+
+@pytest.mark.parametrize("warmup", [False, True])
+def test_ema_matches_closed_form(warmup):
+    rng = np.random.default_rng(0)
+    tree = _tree(rng)
     d = 0.9
-    tr = EmaTracker(tree, decay=d)
+    tr = EmaTracker(tree, decay=d, warmup=warmup)
     ref = jax.tree.map(np.asarray, tree)
     for step in range(4):
+        # warmup schedule (TF-models/timm): min(d, (1+n)/(10+n)), n 1-based
+        dn = min(d, (2.0 + step) / (11.0 + step)) if warmup else d
         new = jax.tree.map(
             lambda x: x + jnp.asarray(
                 rng.standard_normal(x.shape), jnp.float32), tree)
         tr.update(new)
-        ref = jax.tree.map(lambda e, p: e * d + np.asarray(p) * (1 - d),
+        ref = jax.tree.map(lambda e, p: e * dn + np.asarray(p) * (1 - dn),
                            ref, new)
     assert tr.count == 4
     for got, want in zip(jax.tree.leaves(tr.params), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_ema_warmup_tracks_early_iterates():
+    # a short run with decay 0.999: without warmup the EMA barely moves
+    # off the init; with warmup it lands near the recent iterates
+    rng = np.random.default_rng(1)
+    tree = {"w": jnp.zeros((4,), jnp.float32)}
+    tr_warm = EmaTracker(tree, decay=0.999)            # default warmup=True
+    tr_fixed = EmaTracker(tree, decay=0.999, warmup=False)
+    target = {"w": jnp.ones((4,), jnp.float32)}
+    for _ in range(50):
+        tr_warm.update(target)
+        tr_fixed.update(target)
+    warm = float(np.asarray(tr_warm.params["w"])[0])
+    fixed = float(np.asarray(tr_fixed.params["w"])[0])
+    assert fixed < 0.06          # 1 - 0.999^50 ~ 0.049: still near init
+    assert warm > 0.75           # warmup: near the iterates
 
 
 def test_maybe_tracker_gate():
