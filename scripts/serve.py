@@ -118,7 +118,21 @@ class DynamicBatcher:
                     results = [self.det.predict(items[0][0])]
                 else:
                     padded = [self.det.pad_points(p) for p, _, _ in items]
-                    pts_b = np.stack([p for p, _ in padded])
+                    # the batch executable is compiled ONCE at the full
+                    # static shape; with --buckets, per-item pads may be
+                    # bucket-sized — re-pad to max_points (f32 sentinel,
+                    # the only wire this server speaks) so a sparse item
+                    # never triggers a lazy device compile mid-serve
+                    M = self.config.max_points
+
+                    def full(p):
+                        if p.shape[0] == M:
+                            return p
+                        out = np.full((M, p.shape[1]), 1e6, p.dtype)
+                        out[: p.shape[0]] = p
+                        return out
+
+                    pts_b = np.stack([full(p) for p, _ in padded])
                     n_b = np.asarray([n for _, n in padded], np.int32)
                     b = len(items)
                     if b < self.batch:      # static batch shape: pad slots
@@ -297,6 +311,16 @@ def main() -> None:
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="max straggler wait once the first request of a "
                         "batch arrived")
+    p.add_argument("--buckets", type=str, default=None,
+                   help="bucketed upload shapes for the single-sweep path "
+                        "(smaller h2d copies for sparse clouds; boxes "
+                        "bit-equal by test): 'grid' = a 16384-spaced grid "
+                        "up to max_points, or a comma list ending at "
+                        "max_points. EVERY bucket's single-sweep "
+                        "executable is compiled+warmed before bind "
+                        "(startup cost scales with the list — ~1 min per "
+                        "bucket at full size on TPU). Batched calls "
+                        "always re-pad to the full buffer.")
     args = p.parse_args()
 
     import jax
@@ -314,11 +338,29 @@ def main() -> None:
         import dataclasses
 
         config = dataclasses.replace(config, num_sweeps=args.num_sweeps)
-    det = Detector.from_checkpoint(config, args.ckpt)
+    wire_buckets = None
+    if args.buckets:
+        if args.buckets == "grid":
+            step = 16384
+            wire_buckets = tuple(range(step, config.max_points, step)) \
+                + (config.max_points,)
+        else:
+            wire_buckets = tuple(int(x) for x in args.buckets.split(","))
+    det = Detector.from_checkpoint(config, args.ckpt,
+                                   wire_buckets=wire_buckets)
 
-    # compile + warm before accepting traffic (full-size: ~1 min on TPU)
-    warm = np.zeros((32, config.num_input_features), np.float32)
+    # compile + warm before accepting traffic (full-size: ~1 min on TPU;
+    # with --buckets, once per bucket — no lazy compile after bind)
+    F = config.num_input_features
+    warm = np.zeros((32, F), np.float32)
     det.predict(warm)
+    if wire_buckets is not None:
+        prev = 0
+        for b in det.wire_buckets:
+            # prev+1 in-range points (the origin is in range) land in
+            # bucket b exactly
+            det.predict(np.zeros((prev + 1, F), np.float32))
+            prev = b
     batcher = None
     if args.batch_size > 1:
         wp, wn = det.pad_points(warm)

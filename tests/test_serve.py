@@ -241,3 +241,83 @@ def test_dynamic_batching_coalesces_and_matches(server_batched, rng):
             np.testing.assert_allclose(a["center"], b["center"],
                                        rtol=1e-4, atol=1e-4)
             assert a["label"] == b["label"]
+
+
+@pytest.fixture(scope="module")
+def server_bucketed(tmp_path_factory):
+    """serve.py with bucketed upload shapes AND dynamic batching: solo
+    requests ride the smallest fitting bucket, bursts re-pad to the full
+    buffer for the one warmed batch executable."""
+    from tpu_pillars.train import TrainConfig, create_train_state
+    from tpu_pillars.train.checkpoint import save_checkpoint
+
+    out = tmp_path_factory.mktemp("serve_buck")
+    ckpt = str(out / "ck.msgpack")
+    state = create_train_state(CFG, TrainConfig(batch_size=1, max_gt_boxes=4,
+                                                total_steps=10))
+    save_checkpoint(ckpt, state, config=CFG)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+         "--ckpt", ckpt, "--port", "0", "--platform", "cpu",
+         "--batch-size", "3", "--max-wait-ms", "2000",
+         "--buckets", f"512,1024,{CFG.max_points}"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    line = proc.stdout.readline()
+    assert "serving on http://" in line, (line, proc.stderr.read()[-2000:])
+    yield line.split()[2]
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_bucketed_server_matches_plain(server, server_bucketed, rng):
+    import threading
+
+    # both fixtures save the same deterministic init checkpoint, so the
+    # plain server is the oracle for the bucketed one
+    n = 400                      # -> the 512 bucket
+    pts = np.zeros((n, CFG.num_input_features), np.float32)
+    pts[:, 0] = rng.uniform(CFG.x_min, CFG.x_max, n)
+    pts[:, 1] = rng.uniform(CFG.y_min, CFG.y_max, n)
+    pts[:, 2] = rng.uniform(CFG.z_min, CFG.z_max, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    body = json.dumps({"points": pts.tolist()}).encode()
+    hdr = {"Content-Type": "application/json"}
+
+    want = _post(server, body, hdr)
+
+    # solo request: single-sweep executable at the 512 bucket — identical
+    # boxes (padding rows are the only difference)
+    solo = _post(server_bucketed, body, hdr)
+    assert solo["batched"] == 1
+    assert solo["num_boxes"] == want["num_boxes"]
+    for a, b in zip(solo["boxes"], want["boxes"]):
+        np.testing.assert_allclose(a["center"], b["center"], atol=1e-6)
+        assert a["label"] == b["label"]
+
+    # concurrent burst: bucket-sized pads re-padded to the full buffer for
+    # the batch executable — no lazy compile, same boxes (batch float
+    # reassociation slack as in the batching test)
+    results = [None] * 3
+
+    def fire(i):
+        results[i] = _post(server_bucketed, body, hdr)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None for r in results)
+    assert max(r["batched"] for r in results) >= 2
+    for r in results:
+        assert abs(r["num_boxes"] - want["num_boxes"]) <= 1
+        m = min(r["num_boxes"], want["num_boxes"])
+        for a, b in zip(r["boxes"][:m], want["boxes"][:m]):
+            np.testing.assert_allclose(a["center"], b["center"],
+                                       rtol=1e-4, atol=1e-4)
+            assert a["label"] == b["label"]
