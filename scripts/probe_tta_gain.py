@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Does test-time augmentation actually lift mAP on a trained model?
+
+Loads the full-size 1500-step checkpoint (the on-chip training
+demonstration, README 'Trainability'), evaluates a held-out synthetic
+split three ways — plain predict, 4-view flip TTA merged by class-aware
+NMS, and TTA merged by weighted box fusion — and prints the mAPs. The
+TTA machinery itself is correctness-tested (identity == plain bit-for-bit,
+mirror-symmetry invariants, tests/test_tta.py); this probe supplies the
+accuracy evidence on real trained weights.
+
+Usage: python scripts/probe_tta_gain.py [--ckpt /tmp/trainrun8b/ckpt.msgpack]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/trainrun8b/ckpt.msgpack")
+    ap.add_argument("--scenes", type=int, default=16)
+    args = ap.parse_args()
+
+    from tpu_pillars.config import PillarsConfig
+    from tpu_pillars.data.synthetic import make_scene
+    from tpu_pillars.detector import Detector
+    from tpu_pillars.evaluation.map_eval import EvalBox, lyft_map
+    from tpu_pillars.evaluation.tta import MODES, predict_tta
+
+    cfg = PillarsConfig()
+    det = Detector.from_checkpoint(cfg, args.ckpt)
+    # held-out split: NOT the training stream (seed 0) and NOT the
+    # eval-during-fit split (seed 100_000)
+    rng = np.random.default_rng(777_000)
+    scenes = [make_scene(rng, cfg) for _ in range(args.scenes)]
+    names = list(cfg.class_names)
+
+    gt = []
+    for i, sc in enumerate(scenes):
+        for b, c in zip(np.asarray(sc.gt_boxes), np.asarray(sc.gt_classes)):
+            gt.append(EvalBox(f"scene{i}", names[int(c)],
+                              np.asarray(b, np.float64), -1.0))
+
+    def run(tag, predict):
+        pred = []
+        for i, sc in enumerate(scenes):
+            pred.extend(EvalBox.from_box3d(b)
+                        for b in predict(sc.points, token=f"scene{i}"))
+        mAP, _ = lyft_map(gt, pred, names)
+        sys.stderr.write(f"{tag}: mAP {mAP:.4f}\n")
+        return round(float(mAP), 4)
+
+    results = {
+        "plain": run("plain", det.predict),
+        "tta_nms": run("tta_nms", lambda p, token="": predict_tta(
+            det, p, modes=MODES, token=token, merge="nms")),
+        "tta_wbf": run("tta_wbf", lambda p, token="": predict_tta(
+            det, p, modes=MODES, token=token, merge="wbf")),
+    }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

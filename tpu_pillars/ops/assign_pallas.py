@@ -320,7 +320,18 @@ def make_windowed_assigner(config: PillarsConfig, max_gt_per_class: int = 16,
     a one-hot matmul at Precision.HIGHEST (bit-exact — the 3-pass bf16
     split reconstructs each f32 payload exactly when the other products
     are 0*x; verified vs take_along_axis) and residual-encoded against
-    static per-channel anchor vectors."""
+    static per-channel anchor vectors.
+
+    2026-08-20 epilogue split (scripts/probe_assign_split.py, b4 full
+    config, chained in-program loops, null 1.0 ms): kernel 2.1, +codes
+    2.2, +flat transpose 2.3, +GT pick 5.75, full assign 10.4 ms — the
+    one-hot GT-pick matmul is the dominant ~3.5 ms tier. A class-blocked
+    pick (one-hot (B,C,16,Ac), ~9x less HBM one-hot traffic, then one
+    class-block->flat transpose of the (7, A) payload) was bit-identical
+    but SLOWER: 15.55 vs 10.40 ms A/B/A (scripts/probe_assign_fix.py) —
+    the 144-slot flat one-hot never materializes at f32 width; XLA feeds
+    the dot via its bf16 passes, so the "1.7 GB operand" argument was
+    wrong and the extra transpose is pure loss. Parked; flat pick stays."""
     C = config.num_classes
     Y = len(config.anchor_yaws)
     Hf, Wf = config.feature_h, config.feature_w
