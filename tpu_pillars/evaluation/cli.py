@@ -39,9 +39,11 @@ def main() -> None:
     p.add_argument("--tta", action="store_true",
                    help="flip test-time augmentation: ensemble the 4 BEV "
                         "flip views per sample (4x the device passes)")
-    p.add_argument("--tta-merge", choices=("nms", "wbf"), default="nms",
-                   help="TTA merge: class-aware NMS (winner survives) or "
-                        "weighted box fusion (score-weighted averaging)")
+    p.add_argument("--tta-merge", choices=("nms", "wbf"), default="wbf",
+                   help="TTA merge: weighted box fusion (score-weighted "
+                        "averaging; default — measured +2.6 mAP on a "
+                        "trained model where the NMS merge measured -2.2, "
+                        "see evaluation/tta.py) or class-aware NMS")
     p.add_argument("--lidar-frame", action="store_true",
                    help="score in each keyframe's lidar frame instead of "
                         "the competition's global frame")

@@ -35,7 +35,7 @@ def evaluate_dataset(
     num_sweeps: int = 1, global_frame: bool = True,
     batch_size: int = 8, mesh=None,
     tta_modes: Optional[Sequence[str]] = None,
-    tta_merge: str = "nms",
+    tta_merge: str = "wbf",
 ) -> Tuple[float, Dict, Dict[str, List[Box3D]]]:
     """Predict every sample; score against the dataset's GT.
 
@@ -52,8 +52,11 @@ def evaluate_dataset(
     tta_modes (e.g. evaluation.tta.MODES): flip-ensembled evaluation —
     each batch runs once per view through the same batched executable
     (flipped clouds, identical static shapes) and per-sample unions are
-    merged by class-aware NMS (evaluation/tta.py). ("none",) reproduces
-    the plain path's boxes exactly.
+    merged per `tta_merge`: "wbf" weighted box fusion (default — the
+    measured accuracy winner, +2.6 mAP on a trained model where the NMS
+    merge lost 2.2; evaluation/tta.py has the numbers) or "nms"
+    class-aware NMS. ("none",) with "nms" reproduces the plain path's
+    boxes exactly (the identity test uses it).
     """
     cfg = det.config
     tokens = list(sample_tokens or dataset.sample_tokens())

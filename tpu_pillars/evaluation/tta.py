@@ -15,6 +15,17 @@ Merging: union of per-view detections -> descending score -> class-aware
 rotated NMS (the same class-shift trick as ops.postprocess._nms_and_pack)
 -> top max_detections. Score order ties break toward the earlier view in
 `modes` order (stable sort), so results are deterministic.
+
+Accuracy evidence (scripts/probe_tta_gain.py, 2026-08-20, 16 held-out
+synthetic scenes, full-size trained checkpoints):
+  1500-step ckpt: plain 0.3355 / TTA+NMS 0.3138 / TTA+WBF 0.3615 (+2.6)
+  4000-step ckpt: plain 0.5297 / TTA+NMS 0.5060 / TTA+WBF 0.5717 (+4.2)
+The NMS merge LOSES on both — suppressing a view's detection by a
+slightly-offset twin discards the averaging benefit and keeps
+single-view localization noise; WBF gains consistently. The evaluation
+surfaces (evaluate_dataset, the CLI) therefore default to merge="wbf";
+predict_tta keeps the NMS merge as its default (cheaper, and it is the
+only merge that guarantees the no-same-class-overlap invariant).
 """
 
 from __future__ import annotations
