@@ -266,19 +266,21 @@ def test_remat_train_step_bit_equal(rng):
     batch = TrainBatch(*scenes_to_train_batch(scenes, cfg, tcfg.max_gt_boxes))
 
     outs = []
-    for remat in (False, True):
+    for remat in (False, True, "pfn", "rpn"):
         state = create_train_state(cfg, tcfg, rng_key=jax.random.PRNGKey(3))
         step = jax.jit(make_train_step(cfg, remat=remat))
         for _ in range(2):
             state, losses = step(state, batch)
         outs.append((state, losses))
-    (s0, l0), (s1, l1) = outs
-    assert float(l0.total) == float(l1.total)
-    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # param tree structure unchanged (checkpoint compatibility)
-    assert (jax.tree_util.tree_structure(s0.params)
-            == jax.tree_util.tree_structure(s1.params))
+    (s0, l0) = outs[0]
+    for s1, l1 in outs[1:]:
+        assert float(l0.total) == float(l1.total)
+        for a, b in zip(jax.tree.leaves(s0.params),
+                        jax.tree.leaves(s1.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # param tree structure unchanged (checkpoint compatibility)
+        assert (jax.tree_util.tree_structure(s0.params)
+                == jax.tree_util.tree_structure(s1.params))
 
 
 def test_detector_from_checkpoint_config_fingerprint(tmp_path, rng):

@@ -27,6 +27,33 @@ class ModelOutputs(NamedTuple):
     dir_logits: jnp.ndarray   # (..., A, 2)
 
 
+def remat_flags(remat) -> tuple[bool, bool]:
+    """Normalize the remat knob to (checkpoint_pfn, checkpoint_rpn).
+
+    True/"all" checkpoints both tiers (the r3 default: required for the
+    batch-8 full-size compile). "pfn" checkpoints only the PFN — its
+    (B, P, N, C) activation is the dominant training tensor (~2.4 GB at
+    batch-8 full size) while the RPN's conv activations are saved for a
+    recompute-free backward. "rpn" is the complement; False disables both.
+    Remat re-executes the same ops, so numerics are bit-identical across
+    modes on CPU; on TPU, toggling the RPN tier shifts XLA fusion
+    boundaries and rounds convs differently (~1e-5 relative).
+
+    Measured (v5e, scripts/probe_remat_modes2.py 2026-08-20): neither
+    selective mode beats "all" — see make_train_step's docstring for the
+    numbers. "all" stays the default."""
+    if remat is True or remat == "all":
+        return True, True
+    if remat == "pfn":
+        return True, False
+    if remat == "rpn":
+        return False, True
+    if remat is False or remat is None or remat == "off":
+        return False, False
+    raise ValueError(f"remat must be bool, 'all', 'pfn', 'rpn' or 'off'; "
+                     f"got {remat!r}")
+
+
 class PointPillars(nn.Module):
     """Accepts an unbatched PillarBatch (P, N, D) or a batched one with a
     leading B dim on every field — the batched path keeps convs as one big
@@ -35,18 +62,20 @@ class PointPillars(nn.Module):
     config: PillarsConfig
     use_running_average: bool = True
     dtype: jnp.dtype = jnp.float32
-    # remat=True checkpoints the PFN and every RPN block: the (B, P, N, C)
-    # post-linear PFN activation and the (B, H, W, C) conv activations are
-    # recomputed in the backward pass instead of saved — the training
-    # memory lever (VERDICT r2 item 9). Identical numerics, same param tree.
-    remat: bool = False
+    # remat=True/"all" checkpoints the PFN and every RPN block: the
+    # (B, P, N, C) post-linear PFN activation and the (B, H, W, C) conv
+    # activations are recomputed in the backward pass instead of saved —
+    # the training memory lever (VERDICT r2 item 9). "pfn"/"rpn" checkpoint
+    # one tier only (see remat_flags). Identical numerics, same param tree.
+    remat: bool | str = False
     # psum BN batch statistics over this mesh axis when training under
     # shard_map (sync-BN; see parallel.train_dp.make_shardmap_train_step)
     axis_name: str | None = None
 
     def setup(self):
         cfg = self.config
-        pfn_cls = nn.remat(PillarFeatureNet) if self.remat \
+        remat_pfn, remat_rpn = remat_flags(self.remat)
+        pfn_cls = nn.remat(PillarFeatureNet) if remat_pfn \
             else PillarFeatureNet
         self.pfn = pfn_cls(
             channels=cfg.pfn_channels,
@@ -57,7 +86,7 @@ class PointPillars(nn.Module):
             channels=cfg.rpn_channels, layers=cfg.rpn_layers,
             up_channels=cfg.rpn_up_channels,
             use_running_average=self.use_running_average,
-            dtype=self.dtype, remat=self.remat, axis_name=self.axis_name,
+            dtype=self.dtype, remat=remat_rpn, axis_name=self.axis_name,
         )
         self.head = SSDHead(
             num_classes=cfg.num_classes,

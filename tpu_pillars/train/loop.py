@@ -188,6 +188,12 @@ def main() -> None:
     p.add_argument("--full-size", action="store_true",
                    help="full 400x400 config instead of the tiny smoke config")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", choices=("all", "pfn", "rpn", "off"),
+                   default="all",
+                   help="activation checkpointing tier: 'all' (default; "
+                        "required for batch-8 full-size), 'pfn' keeps the "
+                        "RPN conv activations saved (recompute-free conv "
+                        "backward when memory allows), 'rpn'/'off'")
     p.add_argument("--no-fused-frontend", action="store_true",
                    help="force the classic pillarize+decorate+PFN train "
                         "forward instead of the fused emit-table front end "
@@ -364,6 +370,7 @@ def main() -> None:
         step_kw = dict(
             compute_dtype=jnp.dtype(tcfg.compute_dtype),
             fused_frontend=False if args.no_fused_frontend else None,
+            remat=args.remat,
             accum_steps=args.accum)
         if mesh is not None:
             from tpu_pillars.parallel import make_shardmap_train_step

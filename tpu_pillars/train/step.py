@@ -39,7 +39,7 @@ class TrainBatch(NamedTuple):
 
 def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
                     max_gt_per_class: int = 16,
-                    compute_dtype=jnp.float32, remat: bool = True,
+                    compute_dtype=jnp.float32, remat: bool | str = True,
                     assigner: str = "auto",
                     fused_frontend: bool | None = None,
                     axis_name: str | None = None,
@@ -58,11 +58,25 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     and losses all stay float32 (the standard master-weights recipe — the
     head outputs are cast back to f32 before the focal/Smooth-L1 losses).
 
-    remat=True (default) checkpoints the PFN and RPN blocks: activations
-    are recomputed in the backward pass instead of saved, trading a few
-    percent of step time for the memory that caps batch size (the
-    (B, P, N, 64) PFN and (B, 400, 400, C) conv intermediates). Numerics
-    are identical either way (tests pin bit-equality).
+    remat=True/"all" (default) checkpoints the PFN and RPN blocks:
+    activations are recomputed in the backward pass instead of saved,
+    trading a few percent of step time for the memory that caps batch size
+    (the (B, P, N, 64) PFN and (B, 400, 400, C) conv intermediates).
+    "pfn" checkpoints only the PFN tier (the dominant tensor) and saves
+    the RPN conv activations for a recompute-free conv backward; "rpn" is
+    the complement; False disables both. Numerics are bit-identical
+    across modes on CPU (tests pin it); on TPU, toggling the RPN tier
+    changes XLA fusion boundaries and conv rounding at ~1e-5 relative
+    (measured tiny-config: 'pfn' == 'off' and 'rpn' == 'all' bit-for-bit,
+    the two groups differ in the step-1 fwd loss already).
+
+    MEASURED (v5e full size, probe_remat_modes[2].py, same-process A/B/A
+    2026-08-20): selective remat does NOT beat "all" — b4: rpn 122.4 /
+    all 124.1 (tie), pfn 132.3 (loses); b8: pfn 307.3 vs all 264.3/218.5
+    bracket (loses ~25%: the saved (B,P,N,C)-recompute is cheaper than
+    the HBM pressure of keeping every conv activation). An earlier
+    single-run "pfn wins 127 vs 163" was a drifted control — another
+    cross-process-drift cautionary tale. Default stays "all".
 
     fused_frontend: None = auto (TPU only) — run the TRAIN forward's
     pillarize + decorate + PFN as the decoration-free fused front end
@@ -93,6 +107,9 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     global-batch values — the step then computes the SAME update on every
     shard as the GSPMD global-view formulation. Leave None under plain
     jit/GSPMD."""
+    from tpu_pillars.models.pointpillars import remat_flags
+
+    remat_pfn, _ = remat_flags(remat)  # validates the knob up front too
     model = PointPillars(config, use_running_average=False,
                          dtype=compute_dtype, remat=remat,
                          axis_name=axis_name)
@@ -162,7 +179,7 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
 
         # remat: the (rows, N, C) pre-max activation is the fused path's
         # only big intermediate — recompute it in the backward pass
-        fn = jax.checkpoint(pfn_feats) if remat else pfn_feats
+        fn = jax.checkpoint(pfn_feats) if remat_pfn else pfn_feats
         feats, pid, cnt, b_mean, b_var = fn(
             p["linear"]["kernel"], p["bn"]["scale"], p["bn"]["bias"])
         P = config.max_pillars
