@@ -42,14 +42,15 @@ def remat_flags(remat) -> tuple[bool, bool]:
     Measured (v5e, scripts/probe_remat_modes2.py 2026-08-20): neither
     selective mode beats "all" — see make_train_step's docstring for the
     numbers. "all" stays the default."""
-    if remat is True or remat == "all":
-        return True, True
+    if remat is None or remat == "off" or remat == False:  # noqa: E712
+        return False, False
     if remat == "pfn":
         return True, False
     if remat == "rpn":
         return False, True
-    if remat is False or remat is None or remat == "off":
-        return False, False
+    # equality (not identity) so np.bool_/0/1 round-tripped flags still work
+    if remat == True or remat == "all":  # noqa: E712
+        return True, True
     raise ValueError(f"remat must be bool, 'all', 'pfn', 'rpn' or 'off'; "
                      f"got {remat!r}")
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from tpu_pillars.config import PillarsConfig
-from tpu_pillars.models.pointpillars import PointPillars
+from tpu_pillars.models.pointpillars import PointPillars, remat_flags
 from tpu_pillars.ops.emit_pallas import pillarize_batch_auto
 from tpu_pillars.ops.losses import LossBreakdown, detection_loss_fm
 from tpu_pillars.ops.target_assigner import make_classwise_assigner
@@ -70,13 +70,15 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     (measured tiny-config: 'pfn' == 'off' and 'rpn' == 'all' bit-for-bit,
     the two groups differ in the step-1 fwd loss already).
 
-    MEASURED (v5e full size, probe_remat_modes[2].py, same-process A/B/A
-    2026-08-20): selective remat does NOT beat "all" — b4: rpn 122.4 /
-    all 124.1 (tie), pfn 132.3 (loses); b8: pfn 307.3 vs all 264.3/218.5
-    bracket (loses ~25%: the saved (B,P,N,C)-recompute is cheaper than
-    the HBM pressure of keeping every conv activation). An earlier
-    single-run "pfn wins 127 vs 163" was a drifted control — another
-    cross-process-drift cautionary tale. Default stays "all".
+    MEASURED (v5e full size, probe_remat_modes[2].py, same-process
+    2026-08-20): selective remat does NOT beat "all". b8 is bracketed
+    (A/B/A): pfn 307.3 vs all 264.3/218.5 — loses ~25% (the saved
+    (B,P,N,C)-recompute is cheaper than the HBM pressure of keeping
+    every conv activation). b4 is single-control (rpn 122.4 / pfn 132.3
+    / all 124.1): pfn loses, rpn is within drift of all — read as a tie,
+    not a win. An earlier single-run "pfn wins 127 vs 163" was a drifted
+    control — another cross-process-drift cautionary tale. Default
+    stays "all".
 
     fused_frontend: None = auto (TPU only) — run the TRAIN forward's
     pillarize + decorate + PFN as the decoration-free fused front end
@@ -107,8 +109,6 @@ def make_train_step(config: PillarsConfig, iou_chunk: int = 16384,
     global-batch values — the step then computes the SAME update on every
     shard as the GSPMD global-view formulation. Leave None under plain
     jit/GSPMD."""
-    from tpu_pillars.models.pointpillars import remat_flags
-
     remat_pfn, _ = remat_flags(remat)  # validates the knob up front too
     model = PointPillars(config, use_running_average=False,
                          dtype=compute_dtype, remat=remat,
