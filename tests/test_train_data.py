@@ -75,3 +75,62 @@ def test_lyft_dataset_wrong_root_raises(tmp_path):
         LyftDataset(root)
     with pytest.raises(FileNotFoundError):
         LyftDataset(str(tmp_path / "nowhere"))
+
+
+# --- CBGS scene-level class-balanced resampling (arXiv:1908.09492 §3.1) ---
+
+def test_class_balanced_tokens_equal_share_and_determinism(dataset):
+    from tpu_pillars.train.data import class_balanced_tokens
+
+    tokens = dataset.sample_tokens()
+    name_to_id = {c.name: i for i, c in enumerate(CFG.classes)}
+    present = set()
+    for tok in tokens:
+        present |= {name_to_id[b.label] for b in dataset.get_boxes_lidar(tok)
+                    if b.label in name_to_id}
+    assert present  # fixture annotates known classes
+
+    out = class_balanced_tokens(dataset, CFG, seed=3)
+    share = max(1, round(len(tokens) / len(present)))
+    assert len(out) == share * len(present)
+    assert set(out) <= set(tokens)
+
+    # every present class gets EXACTLY `share` draws (a token with k
+    # classes counts once per class bucket it was drawn from): per-class
+    # sample frequency is flat by construction
+    for ci in present:
+        holders = {t for t in tokens
+                   if any(name_to_id.get(b.label) == ci
+                          for b in dataset.get_boxes_lidar(t))}
+        drawn = sum(1 for t in out if t in holders)
+        assert drawn >= share  # at least its own bucket's share
+
+    assert class_balanced_tokens(dataset, CFG, seed=3) == out  # deterministic
+    # ratio scales the epoch length
+    out2 = class_balanced_tokens(dataset, CFG, seed=3, ratio=2.0)
+    assert len(out2) == max(1, round(2.0 * len(tokens) / len(present))) \
+        * len(present)
+
+
+def test_class_balanced_tokens_feeds_dataset_batches(dataset):
+    from tpu_pillars.train.data import class_balanced_tokens
+
+    toks = class_balanced_tokens(dataset, CFG, seed=0, ratio=1.0)
+    batches = list(dataset_batches(dataset, CFG, batch_size=2, max_gt_boxes=8,
+                                   tokens=toks, epochs=1, seed=1))
+    assert len(batches) == len(toks) // 2
+    assert all((b.num_points > 0).all() for b in batches)
+
+
+def test_class_balanced_tokens_no_known_classes_raises(dataset):
+    from tpu_pillars.train.data import class_balanced_tokens
+
+    class Empty:
+        def sample_tokens(self):
+            return ["a", "b"]
+
+        def get_boxes_lidar(self, tok):
+            return []
+
+    with pytest.raises(ValueError, match="no sample contains"):
+        class_balanced_tokens(Empty(), CFG)

@@ -53,6 +53,50 @@ def sample_to_arrays(dataset: LyftDataset, token: str, config: PillarsConfig,
     return points, gb, gc, gv
 
 
+def class_balanced_tokens(dataset: LyftDataset, config: PillarsConfig,
+                          tokens: Optional[Sequence[str]] = None,
+                          seed: int = 0, ratio: float = 1.0) -> List[str]:
+    """CBGS-style scene-level class-balanced resampling (Zhu et al.,
+    arXiv:1908.09492 §3.1 — the nuScenes/Lyft lineage's dataset-side
+    answer to class imbalance, complementary to `data.gt_sampler`'s
+    object-level paste injection; SURVEY.md §2 'Training loop' row).
+
+    Each class present in at least one sample gets an equal share
+    (``round(ratio * len(tokens) / n_present)``) of the output, drawn WITH
+    replacement from the samples containing it. A sample holding k classes
+    can be drawn through any of its k buckets, so dedicated rare-class
+    scenes are repeated more than crowded multi-class ones and the
+    expected per-class sample frequency flattens. Samples with no
+    known-class boxes are dropped (canonical CBGS behavior).
+
+    Returns a new token list of length ``~ratio * len(tokens)`` — pass it
+    as ``dataset_batches(tokens=...)``; per-epoch shuffling stays
+    `dataset_batches`' job. Deterministic in ``seed``. Build any
+    `GTDatabase` from the ORIGINAL (unique) tokens, not this list, or the
+    database's per-class counts inherit the duplication.
+    """
+    tokens = list(tokens or dataset.sample_tokens())
+    name_to_id = {c.name: i for i, c in enumerate(config.classes)}
+    buckets: dict = {}
+    for tok in tokens:
+        ids = {name_to_id[b.label] for b in dataset.get_boxes_lidar(tok)
+               if b.label in name_to_id}
+        for ci in ids:
+            buckets.setdefault(ci, []).append(tok)
+    if not buckets:
+        raise ValueError(
+            "class_balanced_tokens: no sample contains a known-class box — "
+            "nothing to balance (check config.classes vs the dataset's "
+            "category names)")
+    share = max(1, round(ratio * len(tokens) / len(buckets)))
+    rng = np.random.default_rng(seed)
+    out: List[str] = []
+    for ci in sorted(buckets):
+        pool = buckets[ci]
+        out.extend(pool[int(j)] for j in rng.integers(len(pool), size=share))
+    return out
+
+
 def dataset_batches(dataset: LyftDataset, config: PillarsConfig,
                     batch_size: int, max_gt_boxes: int,
                     tokens: Optional[Sequence[str]] = None,

@@ -178,6 +178,12 @@ def main() -> None:
                    help="per-object augmentation: independent yaw jitter + "
                         "xy translation of each GT box and its points, "
                         "collision-rejected (--data only)")
+    p.add_argument("--cbgs", type=float, default=0.0,
+                   help="class-balanced scene resampling (CBGS, "
+                        "arXiv:1908.09492): >0 resamples the train tokens "
+                        "so every class gets an equal share; the value is "
+                        "the output/input length ratio (1.0 = same-size "
+                        "epoch). Composes with --gt-sample.")
     p.add_argument("--gt-sample", type=int, default=0,
                    help="if > 0, GT-database sampling augmentation: paste-"
                         "inject stored objects until each class has N "
@@ -308,6 +314,14 @@ def main() -> None:
                 db, GTSampleConfig(target_per_class=args.gt_sample))
         from tpu_pillars.data.augment import ObjectNoiseConfig
 
+        if args.cbgs > 0:
+            # balance AFTER the GT database build: the database's per-class
+            # counts must come from the unique tokens (see docstring)
+            from tpu_pillars.train.data import class_balanced_tokens
+
+            train_tokens = class_balanced_tokens(
+                ds, config, tokens=train_tokens, seed=args.seed,
+                ratio=args.cbgs)
         batches = dataset_batches(
             ds, config, tcfg.batch_size, tcfg.max_gt_boxes,
             tokens=train_tokens,
