@@ -90,8 +90,12 @@ def main() -> None:
             results.append(np.asarray(pending.popleft()))
         return time.perf_counter() - t0, results
 
+    # best-of-2 timed runs throughout (mirroring the CPU baseline's
+    # best-of-3): this environment drifts +/-15% same-day (CLAUDE.md),
+    # and a best-of is robust to transient tunnel/host load without
+    # flattering the number
     serve(2)  # compile + warm
-    dt, _ = serve(24)
+    dt = min(serve(24)[0], serve(24)[0])
     tpu_rate = 24 / dt
     sys.stderr.write(f"single-sweep serving loop (host-to-host, depth-3): "
                      f"{tpu_rate:.2f} sweeps/s ({1e3 * dt / 24:.1f} ms/sweep)\n")
@@ -100,11 +104,14 @@ def main() -> None:
     # pads+uploads+dispatches while this thread pulls results, so the
     # blocking h2d copy overlaps the result download instead of serializing
     # with it — the honest single-sweep serving pattern
-    t0 = time.perf_counter()
-    n_out = sum(1 for _ in det.predict_stream(
-        (scenes[i % len(scenes)].points for i in range(24)), depth=3))
-    dt_s = time.perf_counter() - t0
-    assert n_out == 24
+    def stream_once():
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in det.predict_stream(
+            (scenes[i % len(scenes)].points for i in range(24)), depth=3))
+        assert n_out == 24
+        return time.perf_counter() - t0
+
+    dt_s = min(stream_once(), stream_once())
     stream_rate = 24 / dt_s
     sys.stderr.write(f"single-sweep threaded stream (host-to-host): "
                      f"{stream_rate:.2f} sweeps/s "
@@ -116,16 +123,20 @@ def main() -> None:
     pts_b = np.stack([p for p, _ in padded])
     n_b = np.asarray([c for _, c in padded])
     np.asarray(det.predict_packed_batch(pts_b, n_b))  # compile + sync
-    t0 = time.perf_counter()
     reps = 6
-    pending = deque()
-    for r in range(reps):
-        pending.append(det.predict_packed_batch(pts_b, n_b))
-        if len(pending) > 2:
+
+    def batch_once():
+        t0 = time.perf_counter()
+        pending = deque()
+        for r in range(reps):
+            pending.append(det.predict_packed_batch(pts_b, n_b))
+            if len(pending) > 2:
+                np.asarray(pending.popleft())
+        while pending:
             np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    dt_b = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    dt_b = min(batch_once(), batch_once())
     batch_rate = reps * B / dt_b
     sys.stderr.write(f"batch-{B} serving loop (host-to-host): {batch_rate:.2f} "
                      f"sweeps/s ({1e3 * dt_b / (reps * B):.1f} ms/sweep)\n")
