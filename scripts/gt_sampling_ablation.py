@@ -35,6 +35,11 @@ def main() -> None:
     p.add_argument("--target", type=int, default=3,
                    help="per-scene pedestrian target for the sampler")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--cbgs", action="store_true",
+                   help="also run a CBGS arm (scene-level class-balanced "
+                        "resampling via train.data.class_balanced_tokens, "
+                        "no GT-database injection) for a three-way "
+                        "comparison")
     args = p.parse_args()
 
     import jax
@@ -94,12 +99,12 @@ def main() -> None:
                 scenes = aug
             yield TrainBatch(*scenes_to_train_batch(scenes, cfg, 8))
 
-    def run(label, sampler):
+    def run(label, batch_iter):
         tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps,
                            batch_size=args.batch, max_gt_boxes=8)
         state = create_train_state(cfg, tcfg,
                                    rng_key=jax.random.PRNGKey(args.seed))
-        state = fit(state, batches(sampler, args.seed + 7), steps=args.steps,
+        state = fit(state, batch_iter, steps=args.steps,
                     config=cfg, log_every=max(args.steps // 4, 1))
         det = Detector(cfg, state.variables)
         gt, preds = [], []
@@ -118,13 +123,54 @@ def main() -> None:
               f"car AP={car_ap:.3f}  pedestrian AP={ped_ap:.3f}")
         return ped_ap, car_ap
 
-    ped_base, car_base = run("baseline (no sampling)  ", None)
+    ped_base, car_base = run("baseline (no sampling)  ",
+                             batches(None, args.seed + 7))
     sampler = GTSampler(db, GTSampleConfig(
         target_per_class={PED: args.target}))
-    ped_gts, car_gts = run(f"gt-sampling (target {args.target})", sampler)
+    ped_gts, car_gts = run(f"gt-sampling (target {args.target})",
+                           batches(sampler, args.seed + 7))
     print(f"\npedestrian AP: {ped_base:.3f} -> {ped_gts:.3f} "
           f"({'+' if ped_gts >= ped_base else ''}{ped_gts - ped_base:.3f}); "
           f"car AP: {car_base:.3f} -> {car_gts:.3f}")
+
+    if args.cbgs:
+        # CBGS arm: duck-typed facade over the in-memory scene list so the
+        # REAL train.data.class_balanced_tokens is what gets measured —
+        # pedestrian-holding scenes get an equal draw share with car-only
+        # ones instead of 2/12 of it
+        from tpu_pillars.train.data import class_balanced_tokens
+
+        class _B:
+            def __init__(self, label):
+                self.label = label
+
+        class _ScenePool:
+            def sample_tokens(self):
+                return [str(i) for i in range(len(train_scenes))]
+
+            def get_boxes_lidar(self, tok):
+                s = train_scenes[int(tok)]
+                return [_B(cfg.class_names[int(c)]) for c in s.gt_classes]
+
+        pool = [int(t) for t in class_balanced_tokens(
+            _ScenePool(), cfg, seed=args.seed, ratio=1.0)]
+        n_ped_pool = sum(1 for i in pool
+                         if (train_scenes[i].gt_classes == PED).any())
+        print(f"\ncbgs pool: {len(pool)} draws, {n_ped_pool} hold "
+              f"pedestrians (raw pool: 2/{len(train_scenes)})")
+
+        def cbgs_batches(seed):
+            brng = np.random.default_rng(seed)
+            while True:
+                idx = brng.choice(len(pool), args.batch, replace=False)
+                yield TrainBatch(*scenes_to_train_batch(
+                    [train_scenes[pool[i]] for i in idx], cfg, 8))
+
+        ped_cb, car_cb = run("cbgs (balanced resample) ",
+                             cbgs_batches(args.seed + 7))
+        print(f"pedestrian AP: baseline {ped_base:.3f} / cbgs {ped_cb:.3f} "
+              f"/ gt-sampling {ped_gts:.3f}; car AP: {car_base:.3f} / "
+              f"{car_cb:.3f} / {car_gts:.3f}")
 
 
 if __name__ == "__main__":
