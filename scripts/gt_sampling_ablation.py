@@ -162,7 +162,9 @@ def main() -> None:
         def cbgs_batches(seed):
             brng = np.random.default_rng(seed)
             while True:
-                idx = brng.choice(len(pool), args.batch, replace=False)
+                # with replacement: matches CBGS's with-replacement draw
+                # semantics and never raises when --batch exceeds the pool
+                idx = brng.choice(len(pool), args.batch, replace=True)
                 yield TrainBatch(*scenes_to_train_batch(
                     [train_scenes[pool[i]] for i in idx], cfg, 8))
 

@@ -95,9 +95,9 @@ def test_class_balanced_tokens_equal_share_and_determinism(dataset):
     assert len(out) == share * len(present)
     assert set(out) <= set(tokens)
 
-    # every present class gets EXACTLY `share` draws (a token with k
-    # classes counts once per class bucket it was drawn from): per-class
-    # sample frequency is flat by construction
+    # every present class gets AT LEAST `share` draws via its own bucket
+    # (a multi-class holder scene can also be drawn through another class's
+    # bucket, so per-class frequency only approximately flattens)
     for ci in present:
         holders = {t for t in tokens
                    if any(name_to_id.get(b.label) == ci

@@ -183,7 +183,7 @@ def main() -> None:
                         "arXiv:1908.09492): >0 resamples the train tokens "
                         "so every class gets an equal share; the value is "
                         "the output/input length ratio (1.0 = same-size "
-                        "epoch). Composes with --gt-sample.")
+                        "epoch). Composes with --gt-sample (--data only).")
     p.add_argument("--gt-sample", type=int, default=0,
                    help="if > 0, GT-database sampling augmentation: paste-"
                         "inject stored objects until each class has N "
@@ -330,6 +330,10 @@ def main() -> None:
             gt_sampler=gt_sampler, seed=args.seed,
             num_workers=max(args.workers, 0))
     else:
+        if args.cbgs > 0:
+            import sys
+            print("warning: --cbgs needs --data; ignored on the synthetic "
+                  "path", file=sys.stderr)
         batches = synthetic_batches(config, tcfg, seed=args.seed)
     if start:
         # the stream is a pure function of (seed, config): dropping the
