@@ -47,6 +47,56 @@ def conv_tier_flops(cfg, batch: int) -> float:
     return flops * batch
 
 
+def pfn_tier_flops(cfg, batch: int) -> float:
+    """Analytic MAC*2 of the PFN linear (decorated D -> C per point)."""
+    return (2.0 * batch * cfg.max_pillars * cfg.max_points_per_pillar
+            * cfg.num_decorated_features * cfg.pfn_channels)
+
+
+def train_step_flops(cfg, batch: int) -> float:
+    """Analytic MXU FLOPs of one remat='all' train step, conv+PFN tiers
+    only (assigner rotated-IoU is VPU work and is excluded — so the MFU
+    computed from this is a LOWER bound on true utilization).
+
+    Convention: fwd F + bwd (dL/dx + dL/dW) 2F + remat recompute F = 4F.
+    """
+    return 4.0 * (conv_tier_flops(cfg, batch) + pfn_tier_flops(cfg, batch))
+
+
+def run_train_section(results) -> None:
+    """Train-step MFU rows. MUST run in a fresh process before any
+    inference section: measured 2026-08-18, a train step timed AFTER
+    inference loops in one process reads 328 ms vs 153 fresh (CLAUDE.md);
+    main() orders this first for that reason."""
+    import jax
+    import time as _t
+
+    from tpu_pillars.config import PillarsConfig
+    from tpu_pillars.train.loop import synthetic_batches
+    from tpu_pillars.train.state import TrainConfig, create_train_state
+    from tpu_pillars.train.step import make_train_step
+
+    cfg = PillarsConfig()
+    for B in (4, 8):
+        tcfg = TrainConfig(batch_size=B)
+        state = create_train_state(cfg, tcfg)
+        batch = next(iter(synthetic_batches(
+            cfg, tcfg, seed=0, num_objects=40, points_per_object=300,
+            clutter=60000)))
+        step = jax.jit(make_train_step(cfg))
+        state, losses = step(state, batch)  # compile
+        np.asarray(losses.total)
+        iters = 10
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            state, losses = step(state, batch)
+        np.asarray(losses.total)
+        dt = (_t.perf_counter() - t0) / iters
+        fl = train_step_flops(cfg, B)
+        results[f"train_step_ms_b{B}"] = round(dt * 1e3, 1)
+        results[f"train_step_tflops_b{B}"] = round(fl / dt / 1e12, 2)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -55,6 +105,14 @@ def main() -> None:
 
     results = {}
     sys.stderr.write(f"backend={jax.default_backend()}\n")
+
+    if "--train" in sys.argv:
+        # fresh-process train-step MFU only (see run_train_section note)
+        run_train_section(results)
+        for k, v in results.items():
+            sys.stderr.write(f"{k}: {v}\n")
+        print(json.dumps(results))
+        return
 
     def timeit(fn, x, iters, warm=2):
         for _ in range(warm):
