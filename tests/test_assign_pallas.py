@@ -6,6 +6,7 @@ the honest contract: per-anchor agreement everywhere except a tiny boundary
 set, with every flip explained by a threshold crossing or argmax tie within
 float tolerance."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,6 +85,7 @@ def _random_gt(rng, b, g, cfg=CFG):
     return gt, cls, valid
 
 
+@pytest.mark.slow
 def test_windowed_matches_dense_random(rng):
     gt, cls, valid = _random_gt(rng, 2, 12)
     got, want = _compare(gt, cls, valid)
@@ -91,6 +93,7 @@ def test_windowed_matches_dense_random(rng):
     assert float(np.asarray(want.num_pos).sum()) > 0
 
 
+@pytest.mark.slow
 def test_windowed_matches_dense_crowded_and_edges(rng):
     # many same-class boxes stacked near one spot + boxes at/beyond the
     # grid edges (windows clamp; out-of-range GT must behave like dense)

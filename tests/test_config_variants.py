@@ -46,6 +46,7 @@ def test_variant_end_to_end(rng, name):
         assert cfg.x_min - 20 < b.center[0] < cfg.x_max + 20
 
 
+@pytest.mark.slow
 def test_car_only_config_end_to_end(rng):
     """BASELINE config #2: car-class-only anchors — 2 anchors/loc instead
     of 18; detect + train step both run, and every detection is a car."""

@@ -130,6 +130,7 @@ def test_fit_stop_flag_checkpoints_cleanly(tmp_path):
     assert int(restored.step) == 2
 
 
+@pytest.mark.slow
 def test_nan_guard_diagnostic_checkpoint(tmp_path):
     tcfg = TrainConfig(total_steps=6, batch_size=1, max_gt_boxes=4)
     state = create_train_state(CFG, tcfg)

@@ -60,6 +60,7 @@ def test_maybe_tracker_gate():
         EmaTracker({"a": jnp.zeros(())}, decay=1.5)
 
 
+@pytest.mark.slow
 def test_fit_with_ema_exports_loadable_weights(tmp_path):
     from tpu_pillars.detector import Detector
     from tpu_pillars.train.loop import fit, synthetic_batches

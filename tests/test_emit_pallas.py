@@ -3,6 +3,7 @@ field, like test_binning_pallas. Extra attention to ring-window edges:
 segments spanning chunk boundaries, pillar-budget overflow mid-stream, empty
 samples, and counts past the per-pillar cap."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,6 +105,7 @@ def test_emit_multisweep_five_features(rng):
                   pillarize_batch(pj, ns, cfg))
 
 
+@pytest.mark.slow
 def test_emit_knob_variants_bit_equal(rng):
     """The (k, whalf, wblk, gate_dead) tuning knobs must never change the
     output: every variant is the same canonical spec. Includes an empty

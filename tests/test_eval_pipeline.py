@@ -80,6 +80,7 @@ def test_evaluate_dataset_runs_end_to_end(dataset, detector, tmp_path):
         assert len(parse_prediction_string(pred_str)) == len(predictions[tok])
 
 
+@pytest.mark.slow
 def test_evaluate_dataset_on_mesh_matches_single_chip(dataset, detector):
     """BASELINE config #5 end-to-end: sharded sweeps, gathered mAP — one
     call over the fake 8-device mesh, identical to the single-chip path."""
@@ -100,6 +101,7 @@ def test_evaluate_dataset_on_mesh_matches_single_chip(dataset, detector):
             assert a.score == pytest.approx(b.score, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(dataset, tmp_path):
     """python -m tpu_pillars.evaluation.cli: checkpoint -> mAP + metrics
     JSON + submission CSV, all through the subprocess surface."""

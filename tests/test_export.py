@@ -64,6 +64,7 @@ def test_export_writes_self_contained_artifact(artifact):
         > 0.5 * n_param_bytes
 
 
+@pytest.mark.slow
 def test_exported_matches_live_detector_bitwise(artifact):
     cfg, variables, path, _ = artifact
     det = Detector(cfg, variables)

@@ -111,6 +111,7 @@ def test_train_feats_match_classic_on_canvas(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_grads_match_classic(rng):
     pts, ns = _cloud(rng, [2500, 1200])
     w, scale, bias = _pfn_weights(rng)
@@ -151,6 +152,7 @@ def _tiny_train_batch(rng, cfg, batch_size, max_gt=16):
     return TrainBatch(*scenes_to_train_batch(scenes, cfg, max_gt))
 
 
+@pytest.mark.slow
 def test_fused_train_step_matches_classic(rng):
     from tpu_pillars.data.synthetic import make_scene, scenes_to_train_batch
     from tpu_pillars.train import (
@@ -191,6 +193,7 @@ def test_fused_train_step_matches_classic(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_fused_train_step_multisweep(rng):
     """Config-#4 shape: num_sweeps>1 adds the dt raw channel (F=5) — the
     fused front end's F/meta plumbing must track it."""
@@ -217,6 +220,7 @@ def test_fused_train_step_multisweep(rng):
         assert int(losses_f.num_pos) == int(losses_c.num_pos)
 
 
+@pytest.mark.slow
 def test_fused_train_step_dp_mesh(rng):
     """fused_frontend=True under the GSPMD DP wrapper on the fake 8-device
     mesh: global-batch semantics must match the single-device fused step
@@ -257,6 +261,7 @@ def test_fused_train_step_dp_mesh(rng):
 
 
 @pytest.mark.parametrize("fused", [True, False])
+@pytest.mark.slow
 def test_shardmap_train_step_matches_single(rng, fused):
     """The explicit shard_map step (per-shard compute, psum'ed BN
     statistics, pmean'ed grads) computes the same global-batch update as
@@ -297,6 +302,7 @@ def test_shardmap_train_step_matches_single(rng, fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_train_step_bf16(rng):
     """The TPU --bf16 default path is fused_frontend + compute_dtype=bf16:
     the fused PFN runs f32 (its matmul is one bf16 MXU pass anyway), the
@@ -333,6 +339,7 @@ def test_fused_train_step_bf16(rng):
     dict(voxel_x=1.0, voxel_y=1.0, max_points_per_pillar=48),  # coarse
     dict(max_pillars=128, pre_nms_top_k=64, max_detections=32),  # tight
 ], ids=["rect_grid", "coarse_voxels", "small_budget"])
+@pytest.mark.slow
 def test_fused_step_matches_classic_on_variants(rng, variant):
     """The fused front end is the TPU train default — its parity with the
     classic path must hold across non-default grids and budgets, not just

@@ -174,6 +174,7 @@ def test_assigner_no_gt_all_negative():
     np.testing.assert_allclose(np.asarray(t.cls_weights), 1.0)
 
 
+@pytest.mark.slow
 def test_classwise_assigner_matches_dense(rng):
     """Class-blocked assigner == dense assign_targets (bit-identical when no
     class exceeds its per-class GT capacity)."""

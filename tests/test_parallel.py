@@ -1,6 +1,7 @@
 """shard_map DP eval on the fake 8-device mesh (BASELINE config #5;
 SURVEY.md section 4 'Distributed')."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np

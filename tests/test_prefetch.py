@@ -91,6 +91,7 @@ def test_dataset_batches_worker_count_invariant(dataset):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+@pytest.mark.slow
 def test_fit_through_device_prefetch():
     """fit() consumes a device_prefetch-staged synthetic stream unchanged:
     same losses as the synchronous stream."""

@@ -112,6 +112,7 @@ def test_stream_canvas_multisweep_features():
                                rtol=5e-6, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_stream_canvas_knob_invariance():
     """Every (ck, whalf, wblk, gates) setting computes the identical
     canvas bit-for-bit: each cell is single-source (one pillar, one chunk)

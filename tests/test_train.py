@@ -2,6 +2,7 @@
 convergence, and data-parallel equivalence on the fake 8-device mesh
 (SURVEY.md section 4 'Integration' + 'Distributed')."""
 
+import pytest
 import os
 
 import jax
@@ -43,6 +44,7 @@ def _make_batch(rng, cfg, tcfg, batch_size=None, **scene_kw):
                       jnp.asarray(gc), jnp.asarray(gv))
 
 
+@pytest.mark.slow
 def test_train_step_mechanics(rng):
     cfg, tcfg = CFG, TCFG
     state = create_train_state(cfg, tcfg)
@@ -63,6 +65,7 @@ def test_train_step_mechanics(rng):
     assert max(jax.tree.leaves(bdiff)) > 0
 
 
+@pytest.mark.slow
 def test_loss_decreases_overfitting_one_batch(rng):
     cfg, tcfg = CFG, TCFG
     state = create_train_state(cfg, tcfg)
@@ -80,6 +83,7 @@ def test_loss_decreases_overfitting_one_batch(rng):
     assert last < 0.5 * first, (first, last)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     cfg, tcfg = CFG, TCFG
     state = create_train_state(cfg, tcfg)
@@ -103,6 +107,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device(rng):
     """GSPMD data-parallel step over the fake 8-device mesh == single-device
     jit on the same global batch (the whole point of global-batch DP)."""
@@ -148,6 +153,7 @@ def test_optimizer_schedule_finite_for_short_runs():
                 assert np.isfinite(np.asarray(u)).all(), total
 
 
+@pytest.mark.slow
 def test_kill_and_resume_matches_straight_run(tmp_path):
     """--resume semantics: restore the checkpoint, fast-forward the seeded
     data stream by `step` batches — the continued loss curve is identical to
@@ -194,6 +200,7 @@ def test_kill_and_resume_matches_straight_run(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_bf16_train_step_learns(rng):
     # mixed precision: bf16 activations, f32 params/opt/BN stats/losses —
     # step runs, losses are f32-finite and decrease on a fixed batch
@@ -248,6 +255,7 @@ def test_checkpoint_config_fingerprint(tmp_path, rng):
     restore_checkpoint(path, state, config=other)
 
 
+@pytest.mark.slow
 def test_remat_train_step_bit_equal(rng):
     # remat recomputes instead of saving — the step must produce BIT-EQUAL
     # losses and parameters (same ops, re-executed)
@@ -305,6 +313,7 @@ def test_detector_from_checkpoint_config_fingerprint(tmp_path, rng):
         Detector.from_checkpoint(other, path)
 
 
+@pytest.mark.slow
 def test_train_cli_dp(tmp_path):
     """--dp N: the CLI trains data-parallel via the shard_map step on a
     virtual 8-device CPU mesh — steps log finite losses and a checkpoint

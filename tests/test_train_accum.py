@@ -39,6 +39,7 @@ def _duplicated_batch(rng, cfg, tcfg, copies=2, **scene_kw):
 
 
 @pytest.mark.parametrize("fused", [False, True])
+@pytest.mark.slow
 def test_accum_matches_single_pass_on_duplicated_batch(rng, fused):
     import optax
 
@@ -66,6 +67,7 @@ def test_accum_matches_single_pass_on_duplicated_batch(rng, fused):
     assert int(s2.step) == 1                     # ONE optimizer update
 
 
+@pytest.mark.slow
 def test_accum_multi_step_loss_decreases(rng):
     cfg, tcfg = CFG, TCFG
     state = create_train_state(cfg, tcfg)
@@ -80,6 +82,7 @@ def test_accum_multi_step_loss_decreases(rng):
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_accum_composes_with_shardmap_dp(rng):
     """accum_steps under the shard_map DP step: sync-BN psums run inside
     the microbatch scan per shard — the composition must compile and the

@@ -43,6 +43,7 @@ def test_dataset_batches_epoch(dataset):
     assert b.gt_valid.any()
 
 
+@pytest.mark.slow
 def test_train_step_on_dataset_batch(dataset):
     tcfg = TrainConfig(batch_size=2, max_gt_boxes=8, total_steps=10)
     state = create_train_state(CFG, tcfg)
