@@ -15,6 +15,22 @@ Measured (CPU backend, tiny config, seed 0, 2026-08-17):
   2000 steps: pedestrian AP 0.000 -> 0.215 with sampling (car 0.033 ->
   0.047): the rare class is unlearnable from 3 instances without
   augmentation and clearly learnable with it.
+
+Three-way --cbgs run (same protocol, seed 0, 2026-08-20; round-3 VERDICT
+next-round #2):
+                 ped AP   car AP
+  baseline        0.000    0.030
+  cbgs            0.000    0.014
+  gt-sampling     0.238    0.140
+CBGS alone moves NOTHING here, honestly: resampling gives ped-holder
+scenes 7/12 of the draw share, but the pool still contains only 3
+pedestrian instances — replaying them adds no diversity, while paste
+injection synthesizes new contexts per scene. CBGS's claimed value
+(arXiv:1908.09492) is at dataset scale where the rare class has many
+scenes to rebalance TOWARD; this micro-benchmark can demonstrate the
+mechanism (draw shares flatten — printed above) but not that gain, and
+the AP row is the evidence that it is no substitute for GT sampling on
+sparse rare classes.
 """
 
 from __future__ import annotations
