@@ -99,17 +99,40 @@ def main() -> None:
         return jax.lax.sort([pid, iota], dimension=-1, is_stable=False,
                             num_keys=1)
 
+    def sort_unstable_2key(pts, n):
+        # deterministic twin of the stable sort: iota as a SECOND KEY under
+        # is_stable=False gives the exact stable order (unique composite
+        # keys) — measures what XLA charges for is_stable=True vs an
+        # explicit lexicographic comparator. Payload carried as in
+        # production.
+        pid = keys_of(pts, n)
+        iota = jnp.broadcast_to(
+            jnp.arange(pts.shape[1], dtype=jnp.int32)[None], pid.shape)
+        ops = [pid, iota] + [pts[..., f] for f in range(pts.shape[-1])]
+        out = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=2)
+        return out[0], jnp.stack(out[2:], axis=-1)
+
     results = {}
 
     def run(tag, fn, args=(None,)):
         if args == (None,):
             args = (d_pts, d_n)
         t0 = time.time()
-        _, per = _device_loop_rate(jax.jit(fn), args, 8)
+        jfn = jax.jit(fn)
+        # best-of-2 long loops: the env drifts enough same-day that a
+        # single two-length differencing can go NEGATIVE (measured
+        # 2026-08-20); min of two independent estimates is robust
+        pers = [_device_loop_rate(jfn, args, 8, iters=64)[1]
+                for _ in range(2)]
+        per = min(p for p in pers if p > 0) if any(p > 0 for p in pers) \
+            else max(pers)
         results[tag] = round(per * 1e3, 2)
         sys.stderr.write(f"{tag}: {per*1e3:.2f} ms/iter "
+                         f"(runs {[round(p*1e3,2) for p in pers]}) "
                          f"[compile+measure {time.time()-t0:.0f}s]\n")
         return per * 1e3
+
+    from tpu_pillars.ops.sort_pallas import sort_points_by_pillar_bitonic
 
     t_null = run("null", lambda x: x + 1.0,
                  (jnp.zeros((8, 8), jnp.float32),))
@@ -117,6 +140,39 @@ def main() -> None:
     t_kidx = run("sort_kidx", sort_kidx)
     t_gather = run("sort_kidx_gather", sort_kidx_gather)
     t_unstable = run("sort_unstable_kidx", sort_unstable_kidx)
+    t_2key = run("sort_unstable_2key", sort_unstable_2key)
+
+    # 2-key variant must be bit-identical to production before any flip
+    rk0, rp0 = jax.jit(
+        lambda p, n: sort_points_by_pillar(p, n, cfg))(d_pts, d_n)
+    k2, p2 = jax.jit(sort_unstable_2key)(d_pts, d_n)
+    results["twokey_bit_equal"] = bool(
+        (np.asarray(rk0) == np.asarray(k2)).all()
+        and (np.asarray(rp0) == np.asarray(p2)).all())
+    sys.stderr.write(f"2key bit-equal: {results['twokey_bit_equal']}\n")
+
+    t_bit = t_bit_g = float("nan")
+    try:
+        # correctness spot-check on-chip before timing the kernel
+        rk, rp = jax.jit(
+            lambda p, n: sort_points_by_pillar(p, n, cfg))(d_pts, d_n)
+        gk, gp = jax.jit(
+            lambda p, n: sort_points_by_pillar_bitonic(p, n, cfg))(d_pts, d_n)
+        keys_ok = bool((np.asarray(rk) == np.asarray(gk)).all())
+        pay_ok = bool((np.asarray(rp) == np.asarray(gp)).all())
+        results["bitonic_bit_equal"] = keys_ok and pay_ok
+        sys.stderr.write(f"bitonic on-chip bit-equal: keys={keys_ok} "
+                         f"payload={pay_ok}\n")
+
+        t_bit = run("bitonic_carry",
+                    lambda p, n: sort_points_by_pillar_bitonic(
+                        p, n, cfg, carry_payload=True))
+        t_bit_g = run("bitonic_gather",
+                      lambda p, n: sort_points_by_pillar_bitonic(
+                          p, n, cfg, carry_payload=False))
+    except Exception as e:  # the kernel must not cost us the XLA numbers
+        results["bitonic_error"] = str(e).split("\n")[0][:200]
+        sys.stderr.write(f"bitonic section failed: {e}\n")
     t_again = run("sort_full_again",
                   lambda p, n: sort_points_by_pillar(p, n, cfg))
 
@@ -124,6 +180,9 @@ def main() -> None:
     results["honest_kidx_ms"] = round(t_kidx - t_null, 2)
     results["honest_gather_addback_ms"] = round(t_gather - t_kidx, 2)
     results["honest_stability_tax_ms"] = round(t_kidx - t_unstable, 2)
+    results["honest_2key_ms"] = round(t_2key - t_null, 2)
+    results["honest_bitonic_carry_ms"] = round(t_bit - t_null, 2)
+    results["honest_bitonic_gather_ms"] = round(t_bit_g - t_null, 2)
     print(json.dumps(results))
 
 

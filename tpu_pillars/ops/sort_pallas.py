@@ -27,10 +27,25 @@ Design (v5e):
     every operand permuted by the same swap decisions — exact, no gather)
     or left to an XLA take_along_axis on the returned order.
 
-Measured (v5e, b8 full config, same-process A/B/A — see
-scripts/probe_sort_ab.py): FILL AFTER PROBE.
+Measured (v5e, b8 full config = 8 x 131072, same-process best-of-2 with
+64-iter chained loops, 2026-08-20 — scripts/probe_sort_ab.py) and
+honestly PARKED:
 
-Not wired as a default anywhere until it records a win.
+  production lax.sort (6-operand stable):   3.91 ms   (A-again control)
+  bitonic 2-operand + XLA payload gather:   8.30 ms   (runs 8.7 / 8.3)
+  bitonic 6-operand full carry:            24.75 ms   (runs 24.8 / 34.9)
+  on-chip bit-equality vs production:      keys=True payload=True
+
+The network LOSES ~2x even in its cheapest form. The VMEM-bandwidth
+estimate (~620 passes over 1 MB ≈ sub-ms) is off by ~10x in practice:
+each of the 153 substages carries fixed per-pass costs (the same
+per-round fixed-cost floor the ring kernels measured) and the
+large-shift sublane rolls do not lower to single vector shifts. The
+carry variant additionally needs 16.3 MB scoped VMEM (vmem_limit_bytes
+raised to 64 MB below) and its Mosaic compile takes ~10 min through the
+axon compile service — disqualifying for production regardless of rate.
+Kept tested (bit-equal by tests/test_sort_pallas.py) as the recorded
+negative result; the XLA multi-operand sort stays the front-end default.
 """
 
 from __future__ import annotations
@@ -150,6 +165,12 @@ def _sort_batched(key, payload, m_pad: int, carry_payload: bool,
         out_specs=[blk] * n_in,
         out_shape=out_shapes,
         interpret=interpret,
+        # the 6-operand full-size carry variant needs 16.27 MB of scoped
+        # VMEM (in+out blocks + unrolled-network temporaries) — just over
+        # the 16 MB default; raise the cap rather than splitting the
+        # network (bitonic needs the whole sample resident)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*inputs)
 
     key_s = outs[0].reshape(b, m_pad)[:, :m]
