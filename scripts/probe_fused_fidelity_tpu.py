@@ -30,12 +30,19 @@ def main() -> None:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    for name in ("test_fused_canvas_drift_full_config",
-                 "test_fused_box_drift_full_config"):
+    failures = []
+    for name in sorted(n for n in dir(mod)
+                       if n.startswith("test_") and callable(getattr(mod, n))):
         t0 = time.time()
-        getattr(mod, name)()
-        sys.stderr.write(f"{name}: PASS [{time.time()-t0:.0f}s]\n")
-    print('{"fused_fidelity_tpu": "pass"}')
+        try:
+            getattr(mod, name)()
+            sys.stderr.write(f"{name}: PASS [{time.time()-t0:.0f}s]\n")
+        except AssertionError as e:  # keep going: one run = all actuals
+            failures.append(name)
+            sys.stderr.write(f"{name}: FAIL ({e}) [{time.time()-t0:.0f}s]\n")
+    print('{"fused_fidelity_tpu": "%s"}'
+          % ("pass" if not failures else "fail:" + ",".join(failures)))
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
