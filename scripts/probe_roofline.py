@@ -77,7 +77,8 @@ def run_train_section(results) -> None:
     from tpu_pillars.train.step import make_train_step
 
     cfg = PillarsConfig()
-    for B in (4, 8):
+    sizes = (8,) if "--b8only" in sys.argv else (4, 8)
+    for B in sizes:
         tcfg = TrainConfig(batch_size=B)
         state = create_train_state(cfg, tcfg)
         batch = next(iter(synthetic_batches(
@@ -124,32 +125,39 @@ def main() -> None:
         np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
         return (time.perf_counter() - t0) / iters
 
-    # --- MXU ceiling: chained 8192^3 matmul (1.1 TFLOP/iter) ---
+    # --- MXU ceiling: chained 8192^3 matmul (1.1 TFLOP/iter). Operands
+    # ride the chained STATE, never a closure: a closed-over 268 MB
+    # matrix embeds as an HLO constant and blows the axon remote-compile
+    # request limit (HTTP 413, measured 2026-08-20). The left operand
+    # evolves (spectral norm ~2 per iter — fine in f32 for 12 iters).
     n = 8192
     flops = 2.0 * n * n * n
     key = jax.random.PRNGKey(0)
     a32 = jax.random.normal(key, (n, n), jnp.float32) / np.sqrt(n)
 
     @jax.jit
-    def mm_default(b):
-        return jnp.dot(a32, b)
+    def mm_default(state):
+        a, b = state
+        return jnp.dot(a, b), b
 
     @jax.jit
-    def mm_highest(b):
-        return jax.lax.dot_general(a32, b, (((1,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
+    def mm_highest(state):
+        a, b = state
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST), b
 
     a16 = a32.astype(jnp.bfloat16)
 
     @jax.jit
-    def mm_bf16(b):
-        return jnp.dot(a16, b)
+    def mm_bf16(state):
+        a, b = state
+        return jnp.dot(a, b), b
 
-    dt = timeit(mm_default, a32, 12)
+    dt = timeit(mm_default, (a32, a32), 12)
     results["matmul_f32_default_tflops"] = round(flops / dt / 1e12, 1)
-    dt = timeit(mm_bf16, a16, 12)
+    dt = timeit(mm_bf16, (a16, a16), 12)
     results["matmul_bf16_tflops"] = round(flops / dt / 1e12, 1)
-    dt = timeit(mm_highest, a32, 6)
+    dt = timeit(mm_highest, (a32, a32), 6)
     results["matmul_f32_highest_tflops"] = round(flops / dt / 1e12, 1)
 
     # --- HBM stream ceiling: chained elementwise on 512 MB (1 GB r+w) ---
