@@ -462,6 +462,14 @@ def sort_points_by_pillar(points, num_points, config: PillarsConfig):
     One stable per-sample multi-operand sort carrying the payload through
     the comparator network (beats argsort + a separate 524k-row gather on
     v5e). The shared front half of every emit-kernel consumer.
+
+    Alternatives measured and rejected (scripts/probe_sort_ab.py, v5e b8
+    full config 2026-08-20): is_stable=False with iota as an explicit
+    second key (bit-equal by uniqueness) 8.7 ms vs 3.6 here — XLA's
+    internal stability augmentation is CHEAPER than an explicit 2-key
+    comparator; keys+iota sort then take_along_axis payload gather adds
+    ~7 ms; the VMEM-resident Pallas bitonic network (ops/sort_pallas.py)
+    loses ~2x (numbers in its docstring).
     """
     W, H = config.grid_w, config.grid_h
     B, M, F = points.shape
