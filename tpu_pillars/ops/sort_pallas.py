@@ -35,6 +35,8 @@ honestly PARKED:
   bitonic 2-operand + XLA payload gather:   8.30 ms   (runs 8.7 / 8.3)
   bitonic 6-operand full carry:            24.75 ms   (runs 24.8 / 34.9)
   on-chip bit-equality vs production:      keys=True payload=True
+  second independent process (confirmation): carry 10.39 / gather 10.19
+  vs production 4.06 — the ~2.5x loss reproduces across processes.
 
 The network LOSES ~2x even in its cheapest form. The VMEM-bandwidth
 estimate (~620 passes over 1 MB ≈ sub-ms) is off by ~10x in practice:
