@@ -183,3 +183,121 @@ def _shift(box, dx):
     b = box.copy()
     b[0] += dx
     return b
+
+
+# --- protocol rows 6-7 (docs/MAP_PROTOCOL.md): both ambiguous rules are
+# IMPLEMENTED in both scorers; these vectors are constructed so the rules
+# actually diverge, pinning each rule's semantics and the pairwise agreement.
+
+def test_match_rule_divergence_vector():
+    # Crowded-scene corner: two overlapping GTs, two identical predictions
+    # on GT A. A=[0,0,0,2,4,1.5,0], B=x+0.5 -> IoU(A,B)=7/9≈0.778.
+    # mask_argmax: pred2's best UNMATCHED GT is B (0.778>=0.5) -> TP, AP=1.
+    # argmax_check: pred2's single argmax is A (1.0), already matched -> FP,
+    # tp=[1,0] -> AP=0.5.
+    A = np.array([0, 0, 0, 2, 4, 1.5, 0.0])
+    B = _shift(A, 0.5)
+    gts = [EvalBox("s0", "car", A), EvalBox("s0", "car", B)]
+    preds = [EvalBox("s0", "car", A.copy(), 0.9),
+             EvalBox("s0", "car", A.copy(), 0.8)]
+    for scorer in (get_average_precisions, get_average_precisions_alt):
+        ap_mask = scorer(gts, preds, CLASSES, 0.5,
+                         match_rule="mask_argmax")[0]
+        ap_chk = scorer(gts, preds, CLASSES, 0.5,
+                        match_rule="argmax_check")[0]
+        assert abs(ap_mask - 1.0) < 1e-12, scorer
+        assert abs(ap_chk - 0.5) < 1e-12, scorer
+
+
+def test_tie_order_divergence_vector():
+    # Exact score tie between an FP and a TP, input order [FP, TP]:
+    # stable visits FP first -> tp=[0,1] -> AP=0.5;
+    # reversed visits TP first -> tp=[1,0] -> AP=1.0.
+    g = np.array([0, 0, 0, 2, 4, 1.5, 0.0])
+    gts = [EvalBox("s0", "car", g)]
+    preds = [EvalBox("s0", "car", _shift(g, 30), 0.5),   # FP
+             EvalBox("s0", "car", g.copy(), 0.5)]        # TP
+    for scorer in (get_average_precisions, get_average_precisions_alt):
+        ap_stable = scorer(gts, preds, CLASSES, 0.5, tie_order="stable")[0]
+        ap_rev = scorer(gts, preds, CLASSES, 0.5, tie_order="reversed")[0]
+        assert abs(ap_stable - 0.5) < 1e-12, scorer
+        assert abs(ap_rev - 1.0) < 1e-12, scorer
+
+
+def _crowded_scenario(rng, n_samples=3):
+    """Clustered same-class GTs overlapping each other ABOVE 0.5 IoU, with
+    predictions placed on members and on midpoints between members — the
+    regime where rows 6-7 genuinely diverge (a prediction's best and
+    second-best GT both clear the threshold).
+
+    Geometry: fixed 2x4 boxes in a line with ~0.8-1.2 m spacing along the
+    length axis give neighbor IoU (4-s)/(4+s) ≈ 0.54-0.67; a midpoint
+    prediction overlaps both neighbors at ≈0.6-0.8."""
+    gts, preds = [], []
+    dims = np.array([2.0, 4.0, 1.5])
+    for si in range(n_samples):
+        tok = f"s{si}"
+        for cname in CLASSES:
+            for _ in range(rng.integers(1, 3)):   # clusters per class
+                cx, cy = rng.uniform(-40, 40, 2)
+                yaw = rng.uniform(-np.pi, np.pi)
+                ux, uy = np.cos(yaw), np.sin(yaw)  # cluster line = heading
+                n_in = int(rng.integers(2, 5))
+                members = []
+                pos = 0.0
+                for k in range(n_in):
+                    g = np.array([cx + ux * pos, cy + uy * pos, 0.0,
+                                  dims[0], dims[1], dims[2], yaw])
+                    members.append(g)
+                    gts.append(EvalBox(tok, cname, g))
+                    pos += rng.uniform(0.8, 1.2)
+                # predictions: on members (small jitter) and on midpoints
+                for g in members:
+                    for _ in range(rng.integers(1, 3)):
+                        p = g.copy()
+                        p[:2] += rng.normal(0, 0.15, 2)
+                        score = round(float(rng.uniform(0, 1)) * 4) / 4
+                        preds.append(EvalBox(tok, cname, p, score))
+                for a, b in zip(members[:-1], members[1:]):
+                    p = (a + b) / 2.0
+                    p[:2] += rng.normal(0, 0.1, 2)
+                    score = round(float(rng.uniform(0, 1)) * 4) / 4
+                    preds.append(EvalBox(tok, cname, p, score))
+    return gts, preds
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+@pytest.mark.parametrize("match_rule", ["mask_argmax", "argmax_check"])
+@pytest.mark.parametrize("tie_order", ["stable", "numpy", "reversed"])
+def test_crowded_scenarios_agree_under_all_rules(seed, match_rule, tie_order):
+    # every (match_rule, tie_order) combination: the two scorers must agree
+    # to 1e-9 on crowded scenes where the rules genuinely diverge
+    rng = np.random.default_rng(seed)
+    gts, preds = _crowded_scenario(rng)
+    m1, t1 = lyft_map(gts, preds, CLASSES, iou_thresholds=(0.5, 0.7),
+                      match_rule=match_rule, tie_order=tie_order)
+    m2, t2 = lyft_map_alt(gts, preds, CLASSES, iou_thresholds=(0.5, 0.7),
+                          match_rule=match_rule, tie_order=tie_order)
+    assert abs(m1 - m2) < 1e-9
+    for thr in t1:
+        np.testing.assert_allclose(t1[thr], t2[thr], rtol=0, atol=1e-9)
+
+
+def test_match_rule_delta_is_bounded_on_crowded_scenes():
+    # the actual protocol-risk bound (docs/MAP_PROTOCOL.md row 6): on
+    # deliberately crowded scenes the mask_argmax vs argmax_check mAP delta
+    # is small and one-sided (mask_argmax can only convert FP->TP, never
+    # the reverse, so its mAP >= argmax_check's)
+    deltas = []
+    for seed in range(30, 36):
+        rng = np.random.default_rng(seed)
+        gts, preds = _crowded_scenario(rng)
+        m_mask, _ = lyft_map(gts, preds, CLASSES)
+        m_chk, _ = lyft_map(gts, preds, CLASSES, match_rule="argmax_check")
+        assert m_mask >= m_chk - 1e-12
+        deltas.append(m_mask - m_chk)
+    # measured 2026-08-20 (seeds 30-35, crowded generator, full sweep):
+    # max delta 0.0595, mean 0.0282 — recorded in docs/MAP_PROTOCOL.md
+    # row 6. Bound at ~1.7x the measured max: these are deliberately
+    # adversarial scenes; a break here means a matching-rule regression.
+    assert max(deltas) < 0.10

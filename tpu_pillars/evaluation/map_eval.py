@@ -24,6 +24,38 @@ DEFAULT_IOU_THRESHOLDS: Tuple[float, ...] = tuple(
     round(0.5 + 0.05 * i, 2) for i in range(10)
 )
 
+# Protocol corners the written material does not pin (docs/MAP_PROTOCOL.md
+# rows 6-7). BOTH rules are implemented in BOTH scorers so the divergence is
+# measurable instead of agreed-by-fiat; the defaults are this repo's choice.
+#
+# match_rule:
+#   "mask_argmax"  (default) — each prediction matches the highest-IoU
+#                  *unmatched* GT (mask matched GTs, then argmax).
+#   "argmax_check" — VOC/rafaelpadilla lineage (probably the SDK): argmax
+#                  over ALL GTs including matched ones; if the single best
+#                  GT is already matched the prediction is an FP even when
+#                  a second unmatched GT also clears the threshold.
+# tie_order (within exact score ties):
+#   "stable"   (default) — input order preserved (stable sort).
+#   "numpy"    — np.argsort(-scores) default introsort, the SDK's literal
+#                sort call (unstable, but deterministic for a given array).
+#   "reversed" — input order REVERSED within ties: the maximal deviation
+#                from "stable", used to BOUND tie-order sensitivity.
+MATCH_RULES = ("mask_argmax", "argmax_check")
+TIE_ORDERS = ("stable", "numpy", "reversed")
+
+
+def _score_order(scores: np.ndarray, tie_order: str) -> np.ndarray:
+    """Descending-score visit order under the given tie rule."""
+    if tie_order == "stable":
+        return np.argsort(-scores, kind="stable")
+    if tie_order == "numpy":
+        return np.argsort(-scores)  # introsort — SDK's literal sort
+    if tie_order == "reversed":
+        n = len(scores)
+        return n - 1 - np.argsort(-scores[::-1], kind="stable")
+    raise ValueError(f"tie_order must be one of {TIE_ORDERS}: {tie_order!r}")
+
 
 @dataclasses.dataclass
 class EvalBox:
@@ -79,8 +111,15 @@ def _average_precision(tp: np.ndarray, fp: np.ndarray, n_gt: int) -> float:
 def get_average_precisions(
     gt_boxes: Iterable[EvalBox], pred_boxes: Iterable[EvalBox],
     class_names: Sequence[str], iou_threshold: float,
+    match_rule: str = "mask_argmax", tie_order: str = "stable",
 ) -> np.ndarray:
-    """Per-class AP at one 3-D IoU threshold. NaN for classes with no GT."""
+    """Per-class AP at one 3-D IoU threshold. NaN for classes with no GT.
+
+    match_rule / tie_order: see MATCH_RULES / TIE_ORDERS above
+    (docs/MAP_PROTOCOL.md rows 6-7)."""
+    if match_rule not in MATCH_RULES:
+        raise ValueError(f"match_rule must be one of {MATCH_RULES}: "
+                         f"{match_rule!r}")
     gt_by: Dict[Tuple[str, str], List[EvalBox]] = defaultdict(list)
     for g in gt_boxes:
         gt_by[(g.sample_token, g.class_name)].append(g)
@@ -91,8 +130,9 @@ def get_average_precisions(
     aps = np.zeros((len(class_names),))
     for ci, cname in enumerate(class_names):
         n_gt = sum(len(v) for (tok, c), v in gt_by.items() if c == cname)
-        preds = sorted(preds_by_class.get(cname, []),
-                       key=lambda p: -p.score)
+        cpreds = preds_by_class.get(cname, [])
+        scores = np.asarray([p.score for p in cpreds], np.float64)
+        preds = [cpreds[i] for i in _score_order(scores, tie_order)]
         tp = np.zeros(len(preds))
         fp = np.zeros(len(preds))
         matched: Dict[Tuple[str, str], np.ndarray] = {}
@@ -107,9 +147,15 @@ def get_average_precisions(
             ious = iou_3d_np(
                 p.box[None], np.stack([g.box for g in gts])
             )[0]
-            ious = np.where(matched[key], -1.0, ious)
-            best = int(np.argmax(ious))
-            if ious[best] >= iou_threshold:
+            if match_rule == "mask_argmax":
+                ious = np.where(matched[key], -1.0, ious)
+                best = int(np.argmax(ious))
+                hit = ious[best] >= iou_threshold
+            else:  # argmax_check: best GT may already be matched -> FP
+                best = int(np.argmax(ious))
+                hit = (ious[best] >= iou_threshold
+                       and not matched[key][best])
+            if hit:
                 tp[pi] = 1
                 matched[key][best] = True
             else:
@@ -122,6 +168,7 @@ def lyft_map(
     gt_boxes: Sequence[EvalBox], pred_boxes: Sequence[EvalBox],
     class_names: Sequence[str],
     iou_thresholds: Sequence[float] = DEFAULT_IOU_THRESHOLDS,
+    match_rule: str = "mask_argmax", tie_order: str = "stable",
 ) -> Tuple[float, Dict[float, np.ndarray]]:
     """Competition metric: mean over thresholds of the mean over classes
     (classes with no GT are excluded from the mean, SDK behavior).
@@ -131,7 +178,9 @@ def lyft_map(
     table: Dict[float, np.ndarray] = {}
     means = []
     for t in iou_thresholds:
-        aps = get_average_precisions(gt_boxes, pred_boxes, class_names, t)
+        aps = get_average_precisions(gt_boxes, pred_boxes, class_names, t,
+                                     match_rule=match_rule,
+                                     tie_order=tie_order)
         table[t] = aps
         valid = ~np.isnan(aps)
         means.append(float(np.mean(aps[valid])) if valid.any() else 0.0)

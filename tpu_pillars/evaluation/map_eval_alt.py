@@ -40,6 +40,25 @@ import numpy as np
 from tpu_pillars.evaluation.map_eval import DEFAULT_IOU_THRESHOLDS, EvalBox
 
 
+def _order_desc(scores: np.ndarray, tie_order: str) -> np.ndarray:
+    """Descending-score visit order — independent twin of
+    map_eval._score_order (same protocol contract, written separately).
+
+    "stable": ties keep input order. "numpy": np.argsort(-scores) introsort
+    (the SDK's literal call; deterministic per array). "reversed": ties in
+    REVERSED input order — the maximal deviation from stable, used to bound
+    tie sensitivity (docs/MAP_PROTOCOL.md row 7)."""
+    if tie_order == "stable":
+        return np.argsort(-scores, kind="stable")
+    if tie_order == "numpy":
+        return np.argsort(-scores)
+    if tie_order == "reversed":
+        # stable sort on (-score, -input_index): realized by stable-sorting
+        # the reversed array and mapping indices back
+        return len(scores) - 1 - np.argsort(-scores[::-1], kind="stable")
+    raise ValueError(f"unknown tie_order {tie_order!r}")
+
+
 def _corners_bev(box: np.ndarray) -> np.ndarray:
     """(7,) [x, y, z, w, l, h, yaw] -> (4, 2) BEV corners, CCW.
 
@@ -136,9 +155,16 @@ def _ap_from_matches(tp: np.ndarray, n_gt: int) -> float:
 def get_average_precisions_alt(
     gt_boxes: Sequence[EvalBox], pred_boxes: Sequence[EvalBox],
     class_names: Sequence[str], iou_threshold: float,
+    match_rule: str = "mask_argmax", tie_order: str = "stable",
 ) -> np.ndarray:
     """Per-class AP at one threshold — contract of
-    map_eval.get_average_precisions, independent implementation."""
+    map_eval.get_average_precisions, independent implementation.
+
+    match_rule "mask_argmax" (default): best-IoU UNMATCHED GT wins.
+    "argmax_check" (VOC lineage): argmax over ALL GTs; if the single best is
+    already matched the prediction is an FP (docs/MAP_PROTOCOL.md row 6)."""
+    if match_rule not in ("mask_argmax", "argmax_check"):
+        raise ValueError(f"unknown match_rule {match_rule!r}")
     gt_boxes = list(gt_boxes)
     pred_boxes = list(pred_boxes)
 
@@ -164,8 +190,7 @@ def get_average_precisions_alt(
         idxs = np.asarray(preds_by_class[cname], np.int64)
         if len(idxs):
             scores = np.asarray([pred_boxes[i].score for i in idxs])
-            order = np.argsort(-scores, kind="stable")  # ties: input order
-            idxs = idxs[order]
+            idxs = idxs[_order_desc(scores, tie_order)]
         tp = np.zeros(len(idxs))
         # greedy matching, one (class, token) group at a time: group state
         # is independent across groups and the within-group visit order is
@@ -187,9 +212,14 @@ def get_average_precisions_alt(
                 group_pos[tok] = 0
             row = iou_cache[tok][group_pos[tok]]
             group_pos[tok] += 1
-            cand = np.where(taken[tok], -np.inf, row)
-            best = int(np.argmax(cand))          # IoU ties: first GT wins
-            if cand[best] >= iou_threshold:
+            if match_rule == "mask_argmax":
+                cand = np.where(taken[tok], -np.inf, row)
+                best = int(np.argmax(cand))      # IoU ties: first GT wins
+                hit = cand[best] >= iou_threshold
+            else:  # argmax_check
+                best = int(np.argmax(row))
+                hit = row[best] >= iou_threshold and not taken[tok][best]
+            if hit:
                 tp[oi] = 1.0
                 taken[tok][best] = True
         aps[ci] = _ap_from_matches(tp, gt_count[cname])
@@ -200,13 +230,15 @@ def lyft_map_alt(
     gt_boxes: Sequence[EvalBox], pred_boxes: Sequence[EvalBox],
     class_names: Sequence[str],
     iou_thresholds: Sequence[float] = DEFAULT_IOU_THRESHOLDS,
+    match_rule: str = "mask_argmax", tie_order: str = "stable",
 ) -> Tuple[float, Dict[float, np.ndarray]]:
     """Contract of map_eval.lyft_map — independent implementation."""
     table: Dict[float, np.ndarray] = {}
     means = []
     for t in iou_thresholds:
         aps = get_average_precisions_alt(
-            gt_boxes, pred_boxes, class_names, t)
+            gt_boxes, pred_boxes, class_names, t,
+            match_rule=match_rule, tie_order=tie_order)
         table[t] = aps
         valid = ~np.isnan(aps)
         means.append(float(np.mean(aps[valid])) if valid.any() else 0.0)
