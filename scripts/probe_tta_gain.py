@@ -9,12 +9,16 @@ TTA machinery itself is correctness-tested (identity == plain bit-for-bit,
 mirror-symmetry invariants, tests/test_tta.py); this probe supplies the
 accuracy evidence on real trained weights.
 
-Usage: python scripts/probe_tta_gain.py [--ckpt /tmp/trainrun8b/ckpt.msgpack]
+Usage: python scripts/probe_tta_gain.py
+       (defaults to the COMMITTED artifact, artifacts/pointpillars_synth4k
+       .msgpack — r4 VERDICT #3: the evidence is now reproducible without
+       re-training; --ckpt overrides for fresh runs)
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -24,7 +28,8 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="/tmp/trainrun8b/ckpt.msgpack")
+    ap.add_argument("--ckpt", default=os.path.join(
+        "/root/repo", "artifacts", "pointpillars_synth4k.msgpack"))
     ap.add_argument("--scenes", type=int, default=16)
     args = ap.parse_args()
 

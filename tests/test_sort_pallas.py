@@ -21,8 +21,7 @@ def _scene_points(rng, cfg, b, m, frac_out=0.2):
     # heavy duplicates: many points per pillar to exercise stability
     narrow = rng.integers(0, 2, (b, m)).astype(bool)
     pts[..., 0] = np.where(
-        narrow, np.float32(cfg.x_min + 1.0) + np.float32(0.01) * 0,
-        pts[..., 0])
+        narrow, np.float32(cfg.x_min + 1.0), pts[..., 0])
     n = rng.integers(int(m * (1 - frac_out)), m + 1, (b,)).astype(np.int32)
     return jnp.asarray(pts), jnp.asarray(n)
 

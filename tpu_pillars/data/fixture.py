@@ -25,9 +25,16 @@ from tpu_pillars.geometry.transforms import (
 
 def build_fixture(root: str, config: PillarsConfig,
                   num_scenes: int = 2, samples_per_scene: int = 3,
-                  sweeps_per_sample: int = 2, seed: int = 0) -> str:
+                  sweeps_per_sample: int = 2, seed: int = 0,
+                  num_objects: int = 5, points_per_object: int = 150,
+                  clutter: int = 1500) -> str:
     """Writes JSON tables under root/data/ and lidar .bin files under
-    root/lidar/. Returns the json dir path."""
+    root/lidar/. Returns the json dir path.
+
+    Density knobs (num_objects / points_per_object / clutter, forwarded to
+    data.synthetic.make_scene) default to the tiny test-fixture scale; the
+    1000-sample dress-rehearsal dataset (scripts/rehearsal_dataset.py)
+    raises them toward realistic sweep sizes."""
     rng = np.random.default_rng(seed)
     json_dir = os.path.join(root, "data")
     lidar_dir = os.path.join(root, "lidar")
@@ -76,8 +83,9 @@ def build_fixture(root: str, config: PillarsConfig,
             # ego drives forward in global frame
             ego_xy = np.array([120.0 + 8.0 * k + 40 * si, 300.0 + 2.0 * k])
             ego_yaw = 0.15 * k
-            scene = make_scene(rng, config, num_objects=5,
-                               points_per_object=150, clutter=1500)
+            scene = make_scene(rng, config, num_objects=num_objects,
+                               points_per_object=points_per_object,
+                               clutter=clutter)
             cal_pose = Pose(np.asarray(cal_q), np.array([1.0, 0.2, 1.8]))
             key_l2g = compose(
                 Pose(np.asarray(quat_from_yaw(ego_yaw)),
