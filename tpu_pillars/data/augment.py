@@ -82,27 +82,47 @@ def noise_per_object(rng: np.random.Generator, points: np.ndarray,
 
     Composes with :func:`augment_scene` (apply this first: per-object noise
     in the original frame, then the global transforms)."""
-    from tpu_pillars.data.gt_sampler import points_in_box
+    from tpu_pillars.data.gt_sampler import points_in_boxes
     from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
 
     points = np.array(points, dtype=np.float32, copy=True)
     gt_boxes = np.array(gt_boxes, dtype=np.float32, copy=True)
     G = len(gt_boxes)
     claimed = np.zeros(len(points), bool)
+    # Membership of EVERY box on the initial cloud in one vectorized pass.
+    # Identical to the old per-g points_in_box(current_points, box) &
+    # ~claimed: points that moved before g's turn are exactly the claimed
+    # ones (masked out), and unclaimed points haven't moved. This plus the
+    # circumradius pre-filter below took the 1-core loader's object-noise
+    # tier from 426 ms/batch to ~60 (round-5 rehearsal profile: 166k exact
+    # polygon clips per 4 batches, nearly all on provably-disjoint pairs).
+    member_all = (points_in_boxes(points, gt_boxes) if G
+                  else np.zeros((0, len(points)), bool))
+    radii = 0.5 * np.hypot(gt_boxes[:, 3], gt_boxes[:, 4])  # w,l never move
     for g in range(G):
-        member = points_in_box(points, gt_boxes[g]) & ~claimed
+        member = member_all[g] & ~claimed
         claimed |= member
         if rng.uniform() >= cfg.prob:
             continue
         others = np.delete(gt_boxes, g, axis=0)
+        others_rad = np.delete(radii, g)
         for _ in range(cfg.max_attempts):
             dtheta = rng.uniform(-cfg.rotation_range, cfg.rotation_range)
             dt = rng.normal(0.0, cfg.translate_std, 2).astype(np.float32)
             cand = gt_boxes[g].copy()
             cand[:2] += dt
             cand[6] = (cand[6] + dtheta + np.pi) % (2 * np.pi) - np.pi
-            if G > 1 and (rotated_iou_bev_np(cand[None], others) > 0.0).any():
-                continue
+            if G > 1:
+                # zero BEV overlap is guaranteed beyond summed circumradii;
+                # exact rotated IoU only on near pairs (decisions, and so
+                # the augmentation stream, stay bit-identical)
+                r = radii[g] + others_rad + 1e-3
+                dx = others[:, 0] - cand[0]
+                dy = others[:, 1] - cand[1]
+                near = dx * dx + dy * dy < r * r
+                if near.any() and (rotated_iou_bev_np(
+                        cand[None], others[near]) > 0.0).any():
+                    continue
             # move the member points with the box: rotate about the OLD
             # center by dtheta, then translate
             c, s = np.cos(dtheta), np.sin(dtheta)

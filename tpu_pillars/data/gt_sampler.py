@@ -48,6 +48,55 @@ def points_in_box(points: np.ndarray, box: np.ndarray,
             & (np.abs(d[:, 2]) <= box[5] / 2 + margin))
 
 
+def points_in_boxes(points: np.ndarray, boxes: np.ndarray,
+                    margin: float = 0.0) -> np.ndarray:
+    """(n, >=3) x (B, 7) -> (B, n) bool membership — the batched twin of
+    points_in_box, with an x-sorted slab pre-filter so each box's oriented
+    test only touches points within its circumscribed radius (per-row
+    results bit-identical to points_in_box: the pre-filter radius
+    hypot(l/2+margin, w/2+margin) is an exact upper bound on any member's
+    center distance, and the final test is the same float expression).
+
+    This is the 1-core dataloader's hottest tier: the round-5 rehearsal
+    profile showed 31.6k per-box points_in_box calls costing 17.5 s over 6
+    batches; the dense batched rewrite still cost 58 ms/call at 40k points
+    x 115 boxes, the slab version ~2 ms."""
+    boxes = np.asarray(boxes).reshape(-1, 7)
+    n, B = len(points), len(boxes)
+    out = np.zeros((B, n), bool)
+    if n == 0 or B == 0:
+        return out
+    x = np.asarray(points[:, 0], np.float64)
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    rad = np.hypot(boxes[:, 4] / 2 + margin, boxes[:, 3] / 2 + margin)
+    rad = rad.astype(np.float64) + 1e-4     # float-rounding slack
+    lo = np.searchsorted(xs, boxes[:, 0].astype(np.float64) - rad, "left")
+    hi = np.searchsorted(xs, boxes[:, 0].astype(np.float64) + rad, "right")
+    for i in range(B):
+        idx = order[lo[i]:hi[i]]
+        if not len(idx):
+            continue
+        sub = points[idx]
+        keep = np.abs(sub[:, 1] - boxes[i, 1]) <= rad[i]   # y slab
+        idx = idx[keep]
+        if not len(idx):
+            continue
+        sub = sub[keep]
+        b = boxes[i]
+        d0 = sub[:, 0] - b[0]
+        d1 = sub[:, 1] - b[1]
+        d2 = sub[:, 2] - b[2]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        lx = c * d0 + s * d1
+        ly = -s * d0 + c * d1
+        m = ((np.abs(lx) <= b[4] / 2 + margin)
+             & (np.abs(ly) <= b[3] / 2 + margin)
+             & (np.abs(d2) <= b[5] / 2 + margin))
+        out[i, idx[m]] = True
+    return out
+
+
 def _to_local(points: np.ndarray, box: np.ndarray) -> np.ndarray:
     """World-frame points -> box-local frame (extra feature cols pass)."""
     out = points.copy()
@@ -87,9 +136,12 @@ class GTDatabase:
                   margin: float = 0.05) -> None:
         """Extract every GT object of the scene into the database."""
         points = np.asarray(points, np.float32)
-        for b, c in zip(np.asarray(gt_boxes, np.float32),
-                        np.asarray(gt_classes)):
-            inside = points_in_box(points, b, margin)
+        gt_boxes = np.asarray(gt_boxes, np.float32)
+        if not len(gt_boxes):
+            return
+        inside_all = points_in_boxes(points, gt_boxes, margin)
+        for b, c, inside in zip(gt_boxes, np.asarray(gt_classes),
+                                inside_all):
             if int(inside.sum()) < min_points:
                 continue
             self.boxes[int(c)].append(b.copy())
@@ -188,7 +240,31 @@ class GTSampler:
         cur_boxes = list(gt_boxes)
         cur_classes = list(gt_classes)
         add_pts: List[np.ndarray] = []
-        removal_masks: List[np.ndarray] = []
+        accepted_boxes: List[np.ndarray] = []
+
+        # collision state kept as flat arrays: centers + BEV circumscribed
+        # radii. A candidate whose center is farther from EVERY current box
+        # than the sum of circumradii provably has zero BEV intersection,
+        # so the exact rotated-IoU check runs only on near pairs (the
+        # round-5 rehearsal profile: 393k exact polygon clips per 6
+        # batches, nearly all on provably-disjoint pairs). The +1e-3 slack
+        # makes the filter conservative against f32 rounding — decisions
+        # (and therefore the augmentation stream) stay bit-identical.
+        cur_arr = (np.stack(cur_boxes).astype(np.float32)
+                   if cur_boxes else np.zeros((0, 7), np.float32))
+        cur_rad = 0.5 * np.hypot(cur_arr[:, 3], cur_arr[:, 4])
+
+        def collides(cand: np.ndarray) -> bool:
+            if not len(cur_arr):
+                return False
+            r = 0.5 * np.hypot(cand[3], cand[4]) + cur_rad + 1e-3
+            dx = cur_arr[:, 0] - cand[0]
+            dy = cur_arr[:, 1] - cand[1]
+            near = dx * dx + dy * dy < r * r
+            if not near.any():
+                return False
+            iou = rotated_iou_bev_np(cand[None], cur_arr[near])[0]
+            return bool((iou > 0.0).any())
 
         for ci in range(self.db.num_classes):
             have = int(np.sum(gt_classes == ci))
@@ -211,21 +287,25 @@ class GTSampler:
                         cand[0] = c * base[0] - s * base[1]
                         cand[1] = s * base[0] + c * base[1]
                         cand[6] = (base[6] + th + np.pi) % (2 * np.pi) - np.pi
-                    if cur_boxes:
-                        iou = rotated_iou_bev_np(
-                            cand[None], np.stack(cur_boxes))[0]
-                        if (iou > 0.0).any():
-                            continue
+                    if collides(cand):
+                        continue
                     cur_boxes.append(cand)
                     cur_classes.append(ci)
+                    cur_arr = np.concatenate(
+                        [cur_arr, cand[None].astype(np.float32)])
+                    cur_rad = np.concatenate(
+                        [cur_rad, [0.5 * np.hypot(cand[3], cand[4])]])
                     add_pts.append(_to_world(self.db.points[ci][ei], cand))
-                    removal_masks.append(
-                        points_in_box(points, cand, self.cfg.margin))
+                    accepted_boxes.append(cand)
                     break
 
         if not add_pts:
             return points, gt_boxes, gt_classes.astype(gt_classes.dtype)
-        drop = np.logical_or.reduce(removal_masks)
+        # one vectorized membership pass over all accepted boxes (the
+        # per-accept points_in_box calls were the other dominant tier);
+        # identical to OR-ing per-box masks
+        drop = points_in_boxes(points, np.stack(accepted_boxes),
+                               self.cfg.margin).any(axis=0)
         f = points.shape[1]
         pieces = [points[~drop]]
         for p in add_pts:

@@ -49,6 +49,14 @@ def main() -> None:
                         "the competition's global frame")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
                    help="'cpu' pins the CPU backend before first device use")
+    p.add_argument("--match-rule", choices=("mask_argmax", "argmax_check"),
+                   default="mask_argmax",
+                   help="greedy-match protocol corner (docs/MAP_PROTOCOL.md "
+                        "row 6): best UNMATCHED GT (default) vs the VOC "
+                        "lineage's argmax-then-check")
+    p.add_argument("--tie-order", choices=("stable", "numpy", "reversed"),
+                   default="stable",
+                   help="score-tie visit order (MAP_PROTOCOL.md row 7)")
     args = p.parse_args()
 
     import jax
@@ -83,7 +91,8 @@ def main() -> None:
     mAP, table, predictions = evaluate_dataset(
         det, ds, sample_tokens=tokens, num_sweeps=num_sweeps,
         global_frame=not args.lidar_frame, batch_size=args.batch,
-        mesh=mesh, tta_modes=tta_modes, tta_merge=args.tta_merge)
+        mesh=mesh, tta_modes=tta_modes, tta_merge=args.tta_merge,
+        match_rule=args.match_rule, tie_order=args.tie_order)
 
     import numpy as np
 

@@ -36,6 +36,7 @@ def evaluate_dataset(
     batch_size: int = 8, mesh=None,
     tta_modes: Optional[Sequence[str]] = None,
     tta_merge: str = "wbf",
+    match_rule: str = "mask_argmax", tie_order: str = "stable",
 ) -> Tuple[float, Dict, Dict[str, List[Box3D]]]:
     """Predict every sample; score against the dataset's GT.
 
@@ -125,7 +126,8 @@ def evaluate_dataset(
                    else dataset.get_boxes_lidar(tok))
             gt_boxes.extend(EvalBox.from_box3d(g) for g in gts)
 
-    mAP, table = lyft_map(gt_boxes, pred_boxes, cfg.class_names)
+    mAP, table = lyft_map(gt_boxes, pred_boxes, cfg.class_names,
+                          match_rule=match_rule, tie_order=tie_order)
     return mAP, table, predictions
 
 
