@@ -61,7 +61,23 @@ def main() -> int:
     mm = (time.perf_counter() - t) / 10 * 1e3
     print(f"1024^2 matmul chain: {mm:.2f} ms/iter", flush=True)
 
-    healthy = a < 5.0 and b < 5.0 and max(a, b) / max(min(a, b), 1e-9) < 2.0
+    # tunnel bandwidth: host->device->host round-trip of 2 MiB, best of 2.
+    # The tunnel degrades INDEPENDENTLY of dispatch (2026-08-20: null loop
+    # healthy at 2 ms while a sweep upload ran ~1 MB/s vs the 30-60 norm)
+    payload = np.ones((512, 1024), np.float32)
+
+    def rt():
+        t0 = time.perf_counter()
+        np.asarray(jnp.asarray(payload))
+        return time.perf_counter() - t0
+
+    rt()
+    bw = 2 * payload.nbytes / min(rt(), rt()) / 1e6
+    print(f"tunnel round-trip: {bw:.1f} MB/s", flush=True)
+
+    healthy = (a < 5.0 and b < 5.0
+               and max(a, b) / max(min(a, b), 1e-9) < 2.0
+               and bw > 15.0)
     print(f"HEALTHY: {healthy}", flush=True)
     return 0 if healthy else 2
 

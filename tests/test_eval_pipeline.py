@@ -145,3 +145,19 @@ def test_eval_cli_end_to_end(dataset, tmp_path):
     assert len(rows) == 1 + metrics["num_samples"]
     for _tok, pred in rows[1:]:
         parse_prediction_string(pred)  # must round-trip
+
+
+def test_evaluate_dataset_protocol_rule_plumbing(dataset, detector):
+    """match_rule/tie_order (docs/MAP_PROTOCOL.md rows 6-7) thread through
+    evaluate_dataset to the scorer: the alternate rules run end-to-end and
+    can only lower (argmax_check) or perturb ties (tie order) relative to
+    the defaults — and with identical predictions, deltas stay tiny."""
+    m_def, t_def, preds = evaluate_dataset(detector, dataset)
+    m_chk, _t, preds2 = evaluate_dataset(detector, dataset,
+                                         match_rule="argmax_check",
+                                         tie_order="numpy")
+    # same detector, same sweeps -> identical predictions either way
+    for tok in preds:
+        assert len(preds[tok]) == len(preds2[tok])
+    # mask_argmax can only convert FPs to TPs relative to argmax_check
+    assert m_def >= m_chk - 1e-12

@@ -6,7 +6,7 @@ import numpy as np
 
 from tpu_pillars.config import tiny_config
 from tpu_pillars.data.gt_sampler import (
-    GTDatabase, GTSampleConfig, GTSampler, points_in_box,
+    GTDatabase, GTSampleConfig, GTSampler, points_in_box, points_in_boxes,
 )
 from tpu_pillars.data.synthetic import make_scene
 from tpu_pillars.reference_cpu.postprocess import rotated_iou_bev_np
@@ -153,3 +153,44 @@ def test_from_dataset_and_batches_wiring(tmp_path, rng):
     plain = next(iter(dataset_batches(ds, CFG, 2, 16, seed=1, epochs=1)))
     assert batch.gt_valid.sum() >= plain.gt_valid.sum()
     assert batch.points.shape == plain.points.shape
+
+
+def test_points_in_boxes_bit_equals_per_box(rng):
+    """The slab-prefiltered batched membership (the round-5 loader fast
+    path) must be BIT-identical to per-box points_in_box at every margin —
+    the augmentation stream's bit-determinism rests on it."""
+    pts = rng.uniform(-50, 50, (5000, 4)).astype(np.float32)
+    boxes = np.stack([
+        np.array([*rng.uniform(-50, 50, 2), rng.uniform(-2, 1),
+                  rng.uniform(0.5, 3), rng.uniform(0.5, 6),
+                  rng.uniform(0.8, 3), rng.uniform(-np.pi, np.pi)],
+                 np.float32)
+        for _ in range(60)])
+    for margin in (0.0, 0.05, 0.1):
+        want = np.stack([points_in_box(pts, b, margin) for b in boxes])
+        got = points_in_boxes(pts, boxes, margin)
+        np.testing.assert_array_equal(got, want)
+    # degenerate shapes
+    assert points_in_boxes(pts, np.zeros((0, 7), np.float32)).shape == (0, 5000)
+    assert points_in_boxes(pts[:0], boxes).shape == (60, 0)
+
+
+def test_collision_prefilter_matches_exact_iou(rng):
+    """The circumradius distance pre-filter (gt_sampler.collides /
+    augment.noise_per_object) may only skip pairs whose exact BEV IoU is
+    zero: verify on random box pairs that every pair skipped by the filter
+    has IoU exactly 0."""
+    boxes = np.stack([
+        np.array([*rng.uniform(-20, 20, 2), 0.0,
+                  rng.uniform(0.5, 3), rng.uniform(0.5, 6),
+                  rng.uniform(0.8, 3), rng.uniform(-np.pi, np.pi)],
+                 np.float32)
+        for _ in range(80)])
+    rad = 0.5 * np.hypot(boxes[:, 3], boxes[:, 4])
+    iou = rotated_iou_bev_np(boxes, boxes)
+    dx = boxes[:, None, 0] - boxes[None, :, 0]
+    dy = boxes[:, None, 1] - boxes[None, :, 1]
+    far = dx * dx + dy * dy >= (rad[:, None] + rad[None, :] + 1e-3) ** 2
+    assert (iou[far] == 0.0).all()
+    # and the filter is not vacuous: plenty of near pairs exist
+    assert far.sum() > 0 and (~far).sum() > len(boxes)
